@@ -1,0 +1,146 @@
+"""Typed configuration for the engine.
+
+Re-creates the reference's two-tier config system (SURVEY.md section 5.6):
+CLI flags with resolution-aware derived values (reference
+`utils/cmdline-parser.cpp:12-25`, `include/utils/cmdline-parser.h:80-89`) and
+calibration files, plus the compile-time feature flags of
+`include/estimator.h:32-34` surfaced as runtime options.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class HSVRange:
+    """An HSV threshold range, OpenCV convention (H in [0,180), S/V in [0,255]).
+
+    Mirrors `struct hsv_object_ranges` (reference main.cpp:38-51).
+    """
+
+    name: str
+    h_low: int
+    h_high: int
+    s_low: int
+    s_high: int
+    v_low: int
+    v_high: int
+
+    @property
+    def low(self) -> Tuple[int, int, int]:
+        return (self.h_low, self.s_low, self.v_low)
+
+    @property
+    def high(self) -> Tuple[int, int, int]:
+        return (self.h_high, self.s_high, self.v_high)
+
+
+# Predefined detectable object colors (reference main.cpp:45-51). Only "red" is
+# effectively used by default (reference estimator.cpp:110-115 hardcodes the
+# red range as the initial thresholds).
+PREDEFINED_OBJECT_COLORS = {
+    "red": HSVRange("red", 0, 9, 150, 255, 0, 255),
+    "blue": HSVRange("blue", 78, 111, 111, 255, 0, 255),
+    "green": HSVRange("green", 61, 92, 100, 255, 0, 255),
+    "yellow": HSVRange("yellow", 23, 37, 117, 255, 111, 255),
+    "orange": HSVRange("orange", 6, 19, 182, 255, 0, 255),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Stereo matcher parameters.
+
+    Defaults mirror the SWMatcherKonolige construction (reference
+    main.cpp:130-135, bm-sw.cpp:12-26) and SWSemiGlobalMatcher
+    (sgbm-sw.cpp:12-25) with P1/P2 = 8*3*5*5 / 32*3*5*5.
+    """
+
+    kind: str = "bm"  # "bm" (StereoBM parity) | "sgm" (StereoSGBM parity)
+    num_disparities: int = 192  # width-scaled at resolve time
+    block_size: int = 13  # SGM reference formula implies 5 for sgm kind
+    min_disparity: int = 0
+    pre_filter_cap: int = 31
+    texture_threshold: int = 10
+    uniqueness_ratio: int = 10
+    speckle_window_size: int = 100
+    speckle_range: int = 32
+    disp12_max_diff: int = 1
+    # SGM-only:
+    p1: int = 8 * 3 * 5 * 5
+    p2: int = 32 * 3 * 5 * 5
+    num_paths: int = 8  # 4, 5 (single-pass parity) or 8 (full)
+    # implementation selection: "auto" benchmarks-driven, "xla" pure-JAX,
+    # "pallas" hand kernel.
+    backend: str = "auto"
+
+    def replace(self, **kw) -> "MatcherConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level engine configuration.
+
+    Field defaults mirror the reference CLI schema (cmdline-parser.cpp:12-25):
+    h=720, w=1280, adjustable=0, disparity-map=1, cameras /dev/video0|1,
+    intrinsics/extrinsics.yml, nd=192, mos=100, cu=25.0 mm.
+    """
+
+    width: int = 1280
+    height: int = 720
+    adjustable: bool = False
+    show_disparity_map: bool = True
+    left_camera_device: str = "/dev/video0"
+    right_camera_device: str = "/dev/video1"
+    intrinsics_file: str = "intrinsics.yml"
+    extrinsics_file: str = "extrinsics.yml"
+    number_of_disparities: int = 192
+    minimal_object_size: int = 100
+    calibration_unit_mm: float = 25.0
+    object_color: str = "red"
+
+    # Source selection: "v4l2" (live cameras), "files" (recorded sequence
+    # directory), "synthetic" (seeded generator; the repo-reproducible default
+    # since the reference ships no image data -- SURVEY.md section 4).
+    source: str = "synthetic"
+    source_path: Optional[str] = None
+    seed: int = 0
+
+    # Feature flags (reference include/estimator.h:32-34 compile-time flags,
+    # runtime here).
+    enable_post_filter: bool = False  # WLS disparity post-filter
+    show_disparity_value: bool = False
+    enable_execution_time_measurement: bool = True
+
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+
+    # TPU execution
+    batch: int = 1  # stereo pairs per device step (multi-stream batching)
+    dtype: str = "float32"
+    max_objects: int = 8  # static bound on per-frame detected objects
+
+    # ---- resolution-aware derived values (cmdline-parser.h:80-89) ----
+    # The reference scales the *configured* value from the *configured*
+    # resolution to the *actual* image size: numDisparities proportional to
+    # width, minimalObjectSize proportional to pixel area.
+
+    def scaled_num_disparities(self, width: int) -> int:
+        """`scale_to_width` semantics (cmdline-parser.h:85-89)."""
+        return int(float(self.number_of_disparities) * width / self.width)
+
+    def scaled_min_object_size(self, width: int, height: int) -> int:
+        """`scale_to_resolution` semantics (cmdline-parser.h:80-84)."""
+        return int(
+            float(self.minimal_object_size)
+            * (width * height)
+            / (self.width * self.height)
+        )
+
+    def hsv_range(self) -> HSVRange:
+        return PREDEFINED_OBJECT_COLORS[self.object_color]
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,40 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-chip sharding paths are exercised on a virtual device mesh
+(SURVEY.md section 4, item 4): 8 CPU devices via XLA_FLAGS, so `Mesh`/
+`shard_map`/halo-exchange tests run anywhere. Must be set before JAX import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+CALIB_DIRS = {
+    "320x240": "/root/reference/backup/320x240",
+    "640x480": "/root/reference/backup/640x480",
+    "1280x720": "/root/reference/backup/1280x720",
+}
+
+
+@pytest.fixture(params=list(CALIB_DIRS))
+def calib_dir(request):
+    import os.path
+
+    path = CALIB_DIRS[request.param]
+    if not os.path.isdir(path):
+        pytest.skip("reference calibration data not available")
+    return path
