@@ -1,0 +1,79 @@
+"""Bilinear remap (the rectification gather of estimator.cpp:32-38).
+
+cv::remap semantics with the reference's CV_16SC2 fixed-point maps: source
+coordinates quantized to 1/32 px, constant-zero border, fixed-point bilinear
+weights for uint8 inputs. The weight arithmetic uses 10-bit integer weights
+((32-fx)*(32-fy) etc., summing to exactly 1024) instead of OpenCV's 15-bit
+table; outputs match OpenCV within +/-1 LSB (tests assert that bound).
+
+The gather is expressed as jnp.take on flattened indices, which XLA lowers to
+a TPU gather; the maps are compile-time constants of the jitted pipeline so
+the index computation folds away.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def remap_bilinear(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Sample `img` at `grid` (..., 2) [x, y] source coordinates.
+
+    img: (H, W) or (H, W, C), uint8 or float. grid: (Ho, Wo, 2) float32.
+    Returns (Ho, Wo[, C]) with img.dtype. Out-of-image taps read 0
+    (BORDER_CONSTANT, the cv::remap default used by the reference).
+    """
+    H, W = img.shape[:2]
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    C = img.shape[-1]
+
+    mx = grid[..., 0]
+    my = grid[..., 1]
+    # 1/32-px fixed point (CV_16SC2 map parity, main.cpp:95-96).
+    ix = jnp.floor(mx).astype(jnp.int32)
+    iy = jnp.floor(my).astype(jnp.int32)
+    fx = jnp.round((mx - ix) * 32.0).astype(jnp.int32)
+    fy = jnp.round((my - iy) * 32.0).astype(jnp.int32)
+    # round() can push the fraction to 32; carry into the integer part.
+    ix = ix + (fx >> 5)
+    iy = iy + (fy >> 5)
+    fx = fx & 31
+    fy = fy & 31
+
+    def tap(yy, xx):
+        valid = (xx >= 0) & (xx < W) & (yy >= 0) & (yy < H)
+        lin = jnp.clip(yy, 0, H - 1) * W + jnp.clip(xx, 0, W - 1)
+        vals = jnp.take(img.reshape(H * W, C), lin.reshape(-1), axis=0)
+        vals = vals.reshape(lin.shape + (C,))
+        return jnp.where(valid[..., None], vals, 0)
+
+    p00 = tap(iy, ix)
+    p01 = tap(iy, ix + 1)
+    p10 = tap(iy + 1, ix)
+    p11 = tap(iy + 1, ix + 1)
+
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        w00 = ((32 - fx) * (32 - fy))[..., None]
+        w01 = (fx * (32 - fy))[..., None]
+        w10 = ((32 - fx) * fy)[..., None]
+        w11 = (fx * fy)[..., None]
+        acc = (
+            p00.astype(jnp.int32) * w00
+            + p01.astype(jnp.int32) * w01
+            + p10.astype(jnp.int32) * w10
+            + p11.astype(jnp.int32) * w11
+        )
+        out = ((acc + 512) >> 10).astype(img.dtype)
+    else:
+        gx = (fx / 32.0)[..., None]
+        gy = (fy / 32.0)[..., None]
+        out = (
+            p00 * (1 - gx) * (1 - gy)
+            + p01 * gx * (1 - gy)
+            + p10 * (1 - gx) * gy
+            + p11 * gx * gy
+        ).astype(img.dtype)
+
+    return out[..., 0] if squeeze else out

@@ -7,12 +7,19 @@ Multi-chip sharding paths are exercised on a virtual device mesh
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The machine's sitecustomize registers the TPU-tunnel ("axon") PJRT plugin
+# and force-selects it via jax.config, overriding the env var -- undo that so
+# tests run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
