@@ -1,0 +1,216 @@
+"""Konolige SAD block matcher as a jittable JAX program.
+
+Semantics identical to the golden numpy implementation (golden/bm.py), which
+is itself bit-exact vs the cv::StereoBM configuration the reference uses
+(main.cpp:130, bm-sw.cpp:16-25). This is the XLA path; the Pallas kernel in
+ops/pallas/ implements the same contract with a fused cost/WTA loop.
+
+TPU formulation notes:
+  * The cost volume is built as a (D, H, W) int32 tensor -- W on the lane
+    dimension, D as the outermost (cheap to shard or scan over).
+  * Window sums are two separable 1-D `reduce_window` additions (VPU).
+  * WTA tie-break toward the LARGEST disparity is expressed as an argmin
+    over the d-reversed volume.
+  * The left-right check's per-row scatter-min uses a packed
+    (cost, x)-lexicographic key so a single `min`-scatter reproduces
+    cv2's first-lowest-cost-wins semantics.
+  * Dynamic per-frame ROIs (estimator.cpp:54-56 re-ROIs every frame) are
+    traced scalars turned into masks via broadcasted iota -- static shapes,
+    no recompilation per frame.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rt_depth_map_tpu.config import MatcherConfig
+from rt_depth_map_tpu.ops.prefilter import xsobel_prefilter
+from rt_depth_map_tpu.ops.speckle import filter_speckles
+
+DISP_SHIFT = 4
+DISP_SCALE = 1 << DISP_SHIFT
+_BIGCOST = jnp.int32(2**28)
+
+
+def _box_filter_2d(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Centered (size x size) sliding sum over the last two dims; border
+    outputs are garbage (masked by the caller's valid region)."""
+    w2 = size // 2
+    pads = [(0, 0)] * (x.ndim - 2) + [(w2, w2), (w2, w2)]
+    xp = jnp.pad(x, pads)
+    window = (1,) * (x.ndim - 2) + (size, 1)
+    s = jax.lax.reduce_window(
+        xp, jnp.int32(0), jax.lax.add, window, (1,) * x.ndim, "VALID"
+    )
+    window = (1,) * (x.ndim - 2) + (1, size)
+    return jax.lax.reduce_window(
+        s, jnp.int32(0), jax.lax.add, window, (1,) * x.ndim, "VALID"
+    )
+
+
+def _cost_volume(lp: jnp.ndarray, rp: jnp.ndarray, num_disp: int, min_disp: int,
+                 block_size: int) -> jnp.ndarray:
+    """(D, H, W) windowed SAD of prefiltered images; invalid columns get a
+    huge cost so they never win WTA."""
+    H, W = lp.shape
+    lp32 = lp.astype(jnp.int32)
+    rp32 = rp.astype(jnp.int32)
+    planes = []
+    for i in range(num_disp):
+        d = min_disp + i
+        if d >= 0:
+            ad = jnp.abs(lp32[:, d:] - rp32[:, : W - d]) if d else jnp.abs(lp32 - rp32)
+            ad = jnp.pad(ad, ((0, 0), (d, 0)))
+        else:
+            ad = jnp.abs(lp32[:, : W + d] - rp32[:, -d:])
+            ad = jnp.pad(ad, ((0, 0), (0, -d)))
+        planes.append(ad)
+    vol = jnp.stack(planes, axis=0)  # (D, H, W)
+    return _box_filter_2d(vol, block_size)
+
+
+def _lr_check(disp: jnp.ndarray, cost: jnp.ndarray, min_disp: int,
+              num_disp: int, max_diff: int) -> jnp.ndarray:
+    """cv::validateDisparity parity (see golden/postproc.py)."""
+    H, W = disp.shape
+    invalid = (min_disp - 1) * DISP_SCALE
+    d32 = disp.astype(jnp.int32)
+    ok = d32 != invalid
+    d_int = (d32 + DISP_SCALE // 2) >> DISP_SHIFT
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    x2 = xs - d_int
+    in_range = ok & (x2 >= 0) & (x2 < W)
+
+    # packed (cost, x) key: min over key = lexicographic (cost, x), which is
+    # exactly "first (leftmost) strictly-lower-cost wins".
+    xpow = 1
+    while xpow < W:
+        xpow *= 2
+    key = cost * xpow + xs
+    key = jnp.where(in_range, key, _BIGCOST * 4)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    flat_idx = jnp.where(in_range, rows * W + x2, H * W)
+    best_key = (
+        jnp.full(H * W + 1, jnp.iinfo(jnp.int32).max, dtype=key.dtype)
+        .at[flat_idx.reshape(-1)]
+        .min(key.reshape(-1))
+    )
+    win_x = (best_key[: H * W] % xpow).reshape(H, W).astype(jnp.int32)
+    has_winner = best_key[: H * W].reshape(H, W) != jnp.iinfo(jnp.int32).max
+    # disparity of the winning left pixel for each right pixel
+    win_lin = rows * W + jnp.clip(win_x, 0, W - 1)
+    disp2 = jnp.where(
+        has_winner, d32.reshape(-1)[win_lin.reshape(-1)].reshape(H, W), invalid
+    )
+    # validate: |disp2[x2] - d| > max_diff*16 -> invalid
+    disp2_at = jnp.where(
+        in_range,
+        disp2.reshape(-1)[jnp.where(in_range, rows * W + x2, 0).reshape(-1)].reshape(H, W),
+        invalid,
+    )
+    bad = ok & in_range & (jnp.abs(disp2_at - d32) > max_diff * DISP_SCALE)
+    # out-of-range projections: cv2 leaves them untouched
+    return jnp.where(bad, jnp.asarray(invalid, disp.dtype), disp)
+
+
+def stereo_bm(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: MatcherConfig,
+    roi1: Optional[Tuple] = None,
+    roi2: Optional[Tuple] = None,
+) -> jnp.ndarray:
+    """Compute the int16 x16 disparity map (cv::StereoBM parity).
+
+    left/right: (H, W) uint8 rectified grayscale. roi1/roi2: optional
+    (x, y, w, h) -- python ints or traced scalars (dynamic per-frame ROI).
+    """
+    H, W = left.shape
+    D = cfg.num_disparities
+    minD = cfg.min_disparity
+    bs = cfg.block_size
+    w2 = bs // 2
+    maxD = minD + D - 1
+    INVALID = (minD - 1) * DISP_SCALE
+
+    lp = xsobel_prefilter(left, cfg.pre_filter_cap)
+    rp = xsobel_prefilter(right, cfg.pre_filter_cap)
+    cost = _cost_volume(lp, rp, D, minD, bs)  # (D, H, W)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    valid = (
+        (ys >= w2) & (ys < H - w2) & (xs >= max(maxD, 0) + w2) & (xs < W - w2)
+    )
+
+    def norm_roi(r):
+        if r is None:
+            return (0, 0, W, H)
+        return r
+
+    if roi1 is not None or roi2 is not None:
+        r1x, r1y, r1w, r1h = norm_roi(roi1)
+        r2x, r2y, r2w, r2h = norm_roi(roi2)
+        # empty ROI behaves as full frame (cv2 parity, golden/bm.py)
+        r1x, r1y, r1w, r1h = [
+            jnp.where(r1w * r1h > 0, v, f)
+            for v, f in zip((r1x, r1y, r1w, r1h), (0, 0, W, H))
+        ]
+        r2x, r2y, r2w, r2h = [
+            jnp.where(r2w * r2h > 0, v, f)
+            for v, f in zip((r2x, r2y, r2w, r2h), (0, 0, W, H))
+        ]
+        rxmin = jnp.maximum(r1x, r2x + maxD) + w2
+        rxmax = jnp.minimum(r1x + r1w, r2x + r2w) - w2
+        rymin = jnp.maximum(r1y, r2y) + w2
+        rymax = jnp.minimum(r1y + r1h, r2y + r2h) - w2
+        valid = valid & (xs >= rxmin) & (xs < rxmax) & (ys >= rymin) & (ys < rymax)
+
+    # WTA, ties -> largest disparity.
+    rev = cost[::-1]
+    best_i = (D - 1 - jnp.argmin(rev, axis=0)).astype(jnp.int32)
+    lin = best_i * (H * W) + ys * W + xs
+    flat = cost.reshape(D * H * W)
+    best_cost = flat[lin.reshape(-1)].reshape(H, W)
+
+    # texture check
+    texture = _box_filter_2d(
+        jnp.abs(lp.astype(jnp.int32) - cfg.pre_filter_cap), bs
+    )
+    tex_ok = texture >= cfg.texture_threshold
+
+    # uniqueness check
+    thresh = best_cost + (best_cost * cfg.uniqueness_ratio) // 100
+    di = jax.lax.broadcasted_iota(jnp.int32, (D, 1, 1), 0)
+    outside = jnp.abs(di - best_i[None]) > 1
+    uniq_bad = jnp.any(outside & (cost <= thresh[None]), axis=0)
+
+    # subpixel + x16 packing
+    ip = jnp.clip(best_i + 1, 0, D - 1)
+    im = jnp.clip(best_i - 1, 0, D - 1)
+    c_p1 = flat[(ip * (H * W) + ys * W + xs).reshape(-1)].reshape(H, W)
+    c_m1 = flat[(im * (H * W) + ys * W + xs).reshape(-1)].reshape(H, W)
+    c_m1 = jnp.where(best_i == 0, c_p1, c_m1)
+    c_p1 = jnp.where(best_i == D - 1, c_m1, c_p1)
+    p, n = c_m1, c_p1
+    denom = p + n - 2 * best_cost + jnp.abs(p - n)
+    num = (p - n) * 256
+    delta = jnp.where(
+        denom != 0,
+        jnp.sign(num) * (jnp.abs(num) // jnp.maximum(denom, 1)),
+        0,
+    )
+    packed = ((best_i + minD) * 256 + delta + 15) >> 4
+
+    disp = jnp.where(valid & tex_ok & ~uniq_bad, packed, INVALID).astype(jnp.int16)
+
+    if cfg.disp12_max_diff >= 0:
+        disp = _lr_check(disp, best_cost, minD, D, cfg.disp12_max_diff)
+    if cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
+        disp = filter_speckles(
+            disp, INVALID, cfg.speckle_window_size, cfg.speckle_range * DISP_SCALE
+        )
+    return disp
