@@ -149,8 +149,9 @@ def _aggregate_dir(C: np.ndarray, p1: int, p2: int, dy: int, dx: int):
         return Crow + m - delta
 
     if dy == 0:
-        # horizontal scan along x
-        for x in range(W1):
+        # horizontal scan along x, in the direction of travel (prev = x - dx
+        # must already be computed, so dx=-1 scans right-to-left)
+        for x in (range(W1) if dx > 0 else range(W1 - 1, -1, -1)):
             if x - dx < 0 or x - dx >= W1:
                 Lp = np.zeros((H, D), dtype=C.dtype)
             else:

@@ -1,0 +1,334 @@
+"""Semi-global matching as a jittable JAX program (cv::StereoSGBM parity).
+
+Bit-exact vs the golden numpy implementation (golden/sgbm.py), which pins the
+SWSemiGlobalMatcher semantics of the reference (sgbm-sw.cpp:12-25,
+SURVEY.md section 2.9b): Birchfield-Tomasi pixel cost on the clipped x-Sobel
+response plus quarter-weighted raw BT, replicated block window sums, SGM path
+aggregation over 4 (MODE_SGBM) or 8 (MODE_HH) directions, WTA with smallest-d
+tie-break, SGBM uniqueness test, parabolic subpixel, inline cost-based
+left-right check, speckle filter.
+
+TPU formulation notes (SURVEY.md section 7 step 6):
+  * Cost volume is laid out (H, W1, D) with D on the lane dimension
+    (D is 64/128/192 -> lane-aligned); all arithmetic is int32 on the VPU.
+  * Each SGM direction is one `lax.scan` whose carry is the previous
+    scanline's L_r -- (H, D) for horizontal scans over W1 steps, (W1, D) for
+    vertical/diagonal scans over H steps. Every step is a handful of
+    elementwise min/add ops over ~W*D lanes, which XLA fuses into a single
+    loop body; the 8 directions run as 6 scans (the two horizontal
+    directions scan over x, all vertical/diagonal ones over y).
+  * Diagonal directions shift the carry by +/-1 column with zero fill each
+    step, which reproduces OpenCV's zero border initialization exactly
+    (zero rows have min 0, so delta = P2 and m = 0 at borders).
+  * The left-right consistency check uses a packed (cost, x)-lexicographic
+    key min-scatter (same trick as ops/bm.py) to reproduce the sequential
+    "first strictly-lower-cost wins" update order.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rt_depth_map_tpu.config import MatcherConfig
+from rt_depth_map_tpu.ops.speckle import filter_speckles
+
+DISP_SHIFT = 4
+DISP_SCALE = 1 << DISP_SHIFT
+MAX_COST = jnp.int32(32767)
+
+
+def _clip_tab(v: jnp.ndarray, ftzero: int) -> jnp.ndarray:
+    return jnp.clip(v, -ftzero, ftzero) + ftzero
+
+
+def sgbm_preprocess(img: jnp.ndarray, ftzero: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sobel-clipped, raw) planes; golden/sgbm.py `sgbm_preprocess` parity."""
+    x = img.astype(jnp.int32)
+    up = jnp.concatenate([x[:1], x[:-1]], axis=0)
+    down = jnp.concatenate([x[1:], x[-1:]], axis=0)
+
+    def dx(row):
+        left = jnp.concatenate([row[:, :1], row[:, :-1]], axis=1)
+        right = jnp.concatenate([row[:, 1:], row[:, -1:]], axis=1)
+        return right - left
+
+    sob = _clip_tab(2 * dx(x) + dx(up) + dx(down), ftzero)
+    sob = sob.at[:, 0].set(0).at[:, -1].set(0)
+    raw = x.at[:, 0].set(0).at[:, -1].set(0)
+    return sob, raw
+
+
+def _halfpix(p: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    left = jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)
+    right = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    al = (p + left) // 2
+    ar = (p + right) // 2
+    al = al.at[:, 0].set(p[:, 0])
+    ar = ar.at[:, -1].set(p[:, -1])
+    mn = jnp.minimum(p, jnp.minimum(al, ar))
+    mx = jnp.maximum(p, jnp.maximum(al, ar))
+    return mn, mx
+
+
+def _bt_cost_plane(pl: jnp.ndarray, pr: jnp.ndarray, min_disp: int,
+                   num_disp: int) -> jnp.ndarray:
+    """Sampling-insensitive BT cost, (H, W, D) int32 (golden `_bt_cost_plane`)."""
+    H, W = pl.shape
+    u0, u1 = _halfpix(pl)
+    v0, v1 = _halfpix(pr)
+    planes = []
+    for i in range(num_disp):
+        d = min_disp + i
+        if d >= 0:
+            sl, sr = (slice(d, W), slice(0, W - d)) if d else (slice(None), slice(None))
+            pad = ((0, 0), (d, 0))
+        else:
+            sl, sr, pad = slice(0, W + d), slice(-d, W), ((0, 0), (0, -d))
+        u = pl[:, sl]
+        c0 = jnp.maximum(0, jnp.maximum(u - v1[:, sr], v0[:, sr] - u))
+        v = pr[:, sr]
+        c1 = jnp.maximum(0, jnp.maximum(v - u1[:, sl], u0[:, sl] - v))
+        planes.append(jnp.pad(jnp.minimum(c0, c1), pad))
+    return jnp.stack(planes, axis=-1)
+
+
+def sgbm_cost_volume(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    num_disp: int,
+    block_size: int,
+    min_disp: int = 0,
+    pre_filter_cap: int = 0,
+) -> Tuple[jnp.ndarray, int, int]:
+    """Windowed BT cost C: (H, width1, D) int32; golden `sgbm_cost_volume`."""
+    ftzero = max(pre_filter_cap, 15) | 1
+    H, W = left.shape
+    minX1 = max(min_disp + num_disp, 0)
+    maxX1 = W + min(min_disp, 0)
+    width1 = maxX1 - minX1
+
+    ls, lr = sgbm_preprocess(left, ftzero)
+    rs, rr = sgbm_preprocess(right, ftzero)
+    pix = _bt_cost_plane(ls, rs, min_disp, num_disp) + (
+        _bt_cost_plane(lr, rr, min_disp, num_disp) >> 2
+    )
+    pix = pix[:, minX1:maxX1]  # (H, W1, D)
+
+    sw2 = block_size // 2
+    xs = jnp.clip(
+        jnp.arange(width1)[None, :] + jnp.arange(-sw2, sw2 + 1)[:, None],
+        0, width1 - 1,
+    )  # (win, W1)
+    acc = jnp.sum(pix[:, xs.reshape(-1)].reshape(H, 2 * sw2 + 1, width1, num_disp),
+                  axis=1)
+    ys = jnp.clip(
+        jnp.arange(H)[None, :] + jnp.arange(-sw2, sw2 + 1)[:, None], 0, H - 1
+    )
+    out = jnp.sum(acc[ys.reshape(-1)].reshape(2 * sw2 + 1, H, width1, num_disp),
+                  axis=0)
+    return out, minX1, width1
+
+
+def _sgm_step(Crow: jnp.ndarray, Lp: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
+    """One SGM recurrence step; Crow/Lp: (N, D). Zero Lp rows reproduce the
+    OpenCV zero border (min over zeros = 0 -> delta = p2, m = 0)."""
+    N = Lp.shape[0]
+    minLp = jnp.min(Lp, axis=1, keepdims=True)
+    lm = jnp.concatenate([jnp.full((N, 1), MAX_COST), Lp[:, :-1]], axis=1)
+    lp_ = jnp.concatenate([Lp[:, 1:], jnp.full((N, 1), MAX_COST)], axis=1)
+    delta = minLp + p2
+    m = jnp.minimum(jnp.minimum(Lp, lm + p1), jnp.minimum(lp_ + p1, delta))
+    return Crow + m - delta
+
+
+def _aggregate_dir(C: jnp.ndarray, p1: int, p2: int, dy: int, dx: int) -> jnp.ndarray:
+    """One-direction SGM aggregation; golden `_aggregate_dir` parity.
+
+    C: (H, W1, D) int32. Horizontal directions scan over x with an (H, D)
+    carry; all others scan over y with a (W1, D) carry shifted by dx/step.
+    """
+    H, W1, D = C.shape
+
+    if dy == 0:
+        # scan along x in direction of travel; carry = previous column's L
+        xsC = jnp.swapaxes(C, 0, 1)  # (W1, H, D)
+        if dx < 0:
+            xsC = xsC[::-1]
+
+        def stepx(Lp, Crow):
+            L = _sgm_step(Crow, Lp, p1, p2)
+            return L, L
+
+        _, Ls = jax.lax.scan(stepx, jnp.zeros((H, D), jnp.int32), xsC)
+        if dx < 0:
+            Ls = Ls[::-1]
+        return jnp.swapaxes(Ls, 0, 1)
+
+    rows = C if dy > 0 else C[::-1]
+
+    def stepy(Lprev, Crow):
+        if dx == 0:
+            Lp = Lprev
+        elif dx > 0:
+            Lp = jnp.concatenate(
+                [jnp.zeros((dx, D), jnp.int32), Lprev[:-dx]], axis=0
+            )
+        else:
+            Lp = jnp.concatenate(
+                [Lprev[-dx:], jnp.zeros((-dx, D), jnp.int32)], axis=0
+            )
+        L = _sgm_step(Crow, Lp, p1, p2)
+        return L, L
+
+    _, Ls = jax.lax.scan(stepy, jnp.zeros((W1, D), jnp.int32), rows)
+    return Ls if dy > 0 else Ls[::-1]
+
+
+_DIRS_PASS1 = [(0, 1), (1, 1), (1, 0), (1, -1)]
+_DIRS_PASS2 = [(0, -1), (-1, -1), (-1, 0), (-1, 1)]
+
+
+def aggregate_cost(C: jnp.ndarray, p1: int, p2: int, num_paths: int) -> jnp.ndarray:
+    """Sum of directional aggregations. num_paths: 4 (MODE_SGBM single-pass
+    directions) or 8 (MODE_HH)."""
+    dirs = list(_DIRS_PASS1) + (list(_DIRS_PASS2) if num_paths == 8 else [])
+    S = jnp.zeros_like(C)
+    for dy, dx in dirs:
+        S = S + _aggregate_dir(C, p1, p2, dy, dx)
+    return S
+
+
+def _lr_check_sgbm(
+    disp: jnp.ndarray, best: jnp.ndarray, minS: jnp.ndarray,
+    minX1: int, width1: int, min_disp: int, max_diff: int,
+) -> jnp.ndarray:
+    """Inline SGBM left-right check (golden lines: disp2 from integer bestDisp
+    with minS cost; invalidate when BOTH floor and ceil candidates disagree).
+
+    disp: (H, W) int16 x16; best/minS: (H, W1) over the computed x range.
+    """
+    H, W = disp.shape
+    INVALID = (min_disp - 1) * DISP_SCALE
+    d16 = disp.astype(jnp.int32)
+
+    ys1 = jax.lax.broadcasted_iota(jnp.int32, (H, width1), 0)
+    xs1 = jax.lax.broadcasted_iota(jnp.int32, (H, width1), 1) + minX1
+    d_int = best + min_disp
+    valid1 = d16[:, minX1 : minX1 + width1] != INVALID
+    x2 = xs1 - d_int
+    in_rng = valid1 & (x2 >= 0) & (x2 < W)
+
+    # packed (cost, x) key: strict-lower-cost-wins with leftmost tiebreak.
+    # max |minS| ~< 8 paths * win^2 * 236 -> fits int32 for W <= 2048.
+    xpow = 1
+    while xpow < W:
+        xpow *= 2
+    key = minS * xpow + (xs1 - minX1)
+    BIGKEY = jnp.iinfo(jnp.int32).max
+    key = jnp.where(in_rng, key, BIGKEY)
+    flat_idx = jnp.where(in_rng, ys1 * W + x2, H * W)
+    best_key = (
+        jnp.full(H * W + 1, BIGKEY, dtype=jnp.int32)
+        .at[flat_idx.reshape(-1)]
+        .min(key.reshape(-1))
+    )[: H * W].reshape(H, W)
+    win_j = best_key % xpow
+    has = best_key != BIGKEY
+    d_flat = d_int.reshape(-1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    disp2 = jnp.where(
+        has,
+        d_flat[(rows * width1 + jnp.clip(win_j, 0, width1 - 1)).reshape(-1)].reshape(H, W),
+        INVALID,
+    )
+
+    # validate every computed-range pixel against both floor & ceil candidates
+    xsW = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ok_range = (xsW >= minX1) & (xsW < minX1 + width1)
+    d1 = d16
+    validW = ok_range & (d1 != INVALID)
+    _d = d1 >> DISP_SHIFT
+    d_ = (d1 + DISP_SCALE - 1) >> DISP_SHIFT
+    _x = xsW - _d
+    x_ = xsW - d_
+
+    def at(arr, xi):
+        ok = (xi >= 0) & (xi < W)
+        lin = rows * W + jnp.clip(xi, 0, W - 1)
+        return jnp.where(ok, arr.reshape(-1)[lin.reshape(-1)].reshape(H, W), INVALID), ok
+
+    d2a, oka = at(disp2, _x)
+    d2b, okb = at(disp2, x_)
+    bad = (
+        validW
+        & oka & (d2a >= min_disp) & (jnp.abs(d2a - _d) > max_diff)
+        & okb & (d2b >= min_disp) & (jnp.abs(d2b - d_) > max_diff)
+    )
+    return jnp.where(bad, jnp.asarray(INVALID, disp.dtype), disp)
+
+
+def stereo_sgbm(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: MatcherConfig,
+) -> jnp.ndarray:
+    """int16 x16 disparity map, cv::StereoSGBM parity (golden bit-exact).
+
+    left/right: (H, W) uint8 rectified grayscale.
+    """
+    H, W = left.shape
+    D = cfg.num_disparities
+    minD = cfg.min_disparity
+    INVALID = (minD - 1) * DISP_SCALE
+    p1 = cfg.p1
+    p2 = max(cfg.p2, p1 + 1)
+
+    C, minX1, width1 = sgbm_cost_volume(
+        left, right, D, cfg.block_size, minD, cfg.pre_filter_cap
+    )
+    S = aggregate_cost(C, p1, p2, 8 if cfg.num_paths >= 8 else 4)
+
+    # WTA: ties -> smallest d
+    best = jnp.argmin(S, axis=2).astype(jnp.int32)  # (H, W1)
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, width1), 0) * (width1 * D)
+        + jax.lax.broadcasted_iota(jnp.int32, (H, width1), 1) * D
+    )
+    Sf = S.reshape(-1)
+    minS = Sf[(lin + best).reshape(-1)].reshape(H, width1)
+
+    # uniqueness (SGBM form): reject if any d outside best+/-1 has
+    # S[d]*(100-ratio) < minS*100
+    di = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+    outside = jnp.abs(di - best[..., None]) > 1
+    bad_uniq = jnp.any(
+        outside & (S * (100 - cfg.uniqueness_ratio) < minS[..., None] * 100),
+        axis=2,
+    )
+
+    # parabolic subpixel (only with both neighbors in range)
+    has_nb = (best > 0) & (best < D - 1)
+    sm = Sf[(lin + jnp.clip(best - 1, 0, D - 1)).reshape(-1)].reshape(H, width1)
+    sp = Sf[(lin + jnp.clip(best + 1, 0, D - 1)).reshape(-1)].reshape(H, width1)
+    denom2 = jnp.maximum(sm + sp - 2 * minS, 1)
+    num = (sm - sp) * DISP_SCALE + denom2
+    sub = jnp.sign(num) * (jnp.abs(num) // (denom2 * 2))
+    dval = jnp.where(has_nb, best * DISP_SCALE + sub, best * DISP_SCALE)
+    dval = dval + minD * DISP_SCALE
+
+    disp1 = jnp.where(bad_uniq, INVALID, dval).astype(jnp.int16)
+    disp = jnp.full((H, W), INVALID, dtype=jnp.int16)
+    disp = jax.lax.dynamic_update_slice(disp, disp1, (0, minX1))
+
+    if cfg.disp12_max_diff >= 0:
+        disp = _lr_check_sgbm(
+            disp, best, minS, minX1, width1, minD, cfg.disp12_max_diff
+        )
+    if cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
+        disp = filter_speckles(
+            disp, INVALID, cfg.speckle_window_size, cfg.speckle_range * DISP_SCALE
+        )
+    return disp
