@@ -126,12 +126,22 @@ def detect_objects(
 
 def matching_region(boxes: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
     """Union bbox (x, y, w, h) of valid boxes (find_relevant_matching_region,
-    estimator.cpp:176-204). With no valid boxes reproduces the reference's
-    degenerate (1e6, 1e6, -2e6, -2e6) rect, which the matcher treats as empty."""
+    estimator.cpp:176-204). With no valid boxes returns (0, 0, 0, 0): the
+    reference skips matching entirely in that case (estimator.cpp:48 guards on
+    contours.size()), and an empty ROI is the matcher's own no-restriction
+    marker, so the engine can gate on boxes[:, 4] without overflow-prone
+    sentinel coordinates."""
     v = boxes[:, 4] > 0
+    any_v = jnp.any(v)
     LO, HI = jnp.int32(-(10**6)), jnp.int32(10**6)
     minx = jnp.min(jnp.where(v, boxes[:, 0], HI))
     miny = jnp.min(jnp.where(v, boxes[:, 1], HI))
     maxx = jnp.max(jnp.where(v, boxes[:, 0] + boxes[:, 2], LO))
     maxy = jnp.max(jnp.where(v, boxes[:, 1] + boxes[:, 3], LO))
-    return minx, miny, maxx - minx, maxy - miny
+    z = jnp.int32(0)
+    return (
+        jnp.where(any_v, minx, z),
+        jnp.where(any_v, miny, z),
+        jnp.where(any_v, maxx - minx, z),
+        jnp.where(any_v, maxy - miny, z),
+    )

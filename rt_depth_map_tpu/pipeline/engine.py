@@ -1,0 +1,285 @@
+"""The Engine: host frame loop + one jitted device program per frame.
+
+Re-creates Estimator::run() (reference estimator.cpp:10-83). Host side:
+grab -> MJPEG decode (stale-frame reuse on corrupt input, decoder parity) ->
+H2D. Device side, fused into a single jit-compiled program (the TPU
+equivalent of steps 4-15 of the hot loop, SURVEY.md section 3.2):
+
+  gray conversion x2 -> rectification remap x3 + ROI crop -> HSV threshold ->
+  morphological open/close -> connected-component object boxes -> matcher ROI
+  -> BM/SGM disparity -> /16 -> Q reprojection -> per-box masked depth means.
+
+Dynamic per-frame state (HSV thresholds, min object size) enters as traced
+scalars so the adjustable-trackbar semantics (estimator.cpp:294-304) never
+recompile. The rectification maps are compile-time constants baked into the
+program (SURVEY.md section 3.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import signal
+import sys
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rt_depth_map_tpu.calib import RectificationResult
+from rt_depth_map_tpu.config import EngineConfig
+from rt_depth_map_tpu.decode import MJPEGDecoder
+from rt_depth_map_tpu.ops import (
+    ellipse_kernel,
+    in_range,
+    morph_open_close,
+    remap_bilinear,
+    rgb_to_gray,
+    rgb_to_hsv,
+)
+from rt_depth_map_tpu.ops.bm import stereo_bm
+from rt_depth_map_tpu.ops.detect import detect_objects, matching_region
+from rt_depth_map_tpu.ops.reproject import (
+    calc_depth,
+    disparity_fixed_to_float,
+    reproject_to_3d,
+)
+from rt_depth_map_tpu.ops.sgbm import stereo_sgbm
+from rt_depth_map_tpu.pipeline.stats import ExecTimeStats
+from rt_depth_map_tpu.sources import make_source
+from rt_depth_map_tpu.sources.base import StereoSource
+
+MORPH_DX = MORPH_DY = 10  # reference mf-sw.h:11-12 structuring element
+
+
+@dataclasses.dataclass
+class FrameResult:
+    """Outputs of one frame (host numpy)."""
+
+    disparity: np.ndarray  # (Hr, Wr) int16 x16 fixed point
+    boxes: np.ndarray  # (K, 5) int32 [x, y, w, h, valid], rect-crop coords
+    depth_cm: np.ndarray  # (K,) float32, NaN where invalid/empty
+    mean_z: np.ndarray  # (K,) float32 raw Z units
+    count: np.ndarray  # (K,) int32 valid pixels per box
+    mask: np.ndarray  # (Hr, Wr) uint8 filtered object mask
+    rgb_rect: np.ndarray  # (Hr, Wr, 3) uint8 rectified left view
+
+    @property
+    def has_objects(self) -> bool:
+        return bool(self.boxes[:, 4].sum() > 0)
+
+    def labels(self):
+        """(x, y, 'NNN cm') depth labels (set_label parity,
+        estimator.cpp:250-259)."""
+        out = []
+        for box, cm in zip(self.boxes, self.depth_cm):
+            if box[4] and np.isfinite(cm):
+                out.append((int(box[0]), int(box[1]), f"{cm:.0f} cm"))
+        return out
+
+
+def _identity_grid(width: int, height: int) -> np.ndarray:
+    gx, gy = np.meshgrid(
+        np.arange(width, dtype=np.float32), np.arange(height, dtype=np.float32)
+    )
+    return np.stack([gx, gy], axis=-1)
+
+
+def _default_q(width: int, height: int) -> np.ndarray:
+    Q = np.zeros((4, 4))
+    Q[0, 0] = Q[1, 1] = 1.0
+    Q[0, 3] = -width / 2.0
+    Q[1, 3] = -height / 2.0
+    Q[2, 3] = 0.9 * width
+    Q[3, 2] = 1.0 / 4.8
+    return Q
+
+
+class Engine:
+    """Pipeline orchestrator (Estimator parity) for one device."""
+
+    def __init__(
+        self,
+        cfg: EngineConfig,
+        rectification: Optional[RectificationResult] = None,
+        source: Optional[StereoSource] = None,
+        decoder: Optional[MJPEGDecoder] = None,
+    ):
+        self.cfg = cfg
+        self.source = source if source is not None else make_source(cfg)
+        self.decoder = decoder if decoder is not None else MJPEGDecoder()
+        W, H = self.source.width, self.source.height
+
+        # Rectification constants (SURVEY.md section 3.4). A rectified source
+        # keeps identity maps; calibration still contributes ROI and Q.
+        if rectification is not None and not getattr(self.source, "rectified", False):
+            self.map_left = rectification.map_left.astype(np.float32)
+            self.map_right = rectification.map_right.astype(np.float32)
+        else:
+            self.map_left = self.map_right = _identity_grid(W, H)
+        if rectification is not None:
+            rx, ry, rw, rh = rectification.roi
+            # clamp to the actual image in case calibration resolution differs
+            rx, ry = max(0, min(rx, W - 1)), max(0, min(ry, H - 1))
+            rw, rh = min(rw, W - rx), min(rh, H - ry)
+            self.roi = (rx, ry, rw, rh)
+            self.Q = np.asarray(rectification.Q, np.float64)
+        else:
+            self.roi = (0, 0, W, H)
+            q_fn = getattr(self.source, "q_matrix", None)
+            self.Q = q_fn() if q_fn is not None else _default_q(W, H)
+
+        # resolution-aware derived values (cmdline-parser.h:80-89)
+        self.num_disparities = max(16, (cfg.scaled_num_disparities(W) // 16) * 16)
+        self.min_object_size = max(1, cfg.scaled_min_object_size(W, H))
+        mcfg = cfg.matcher.replace(num_disparities=self.num_disparities)
+        if mcfg.kind == "sgm" and mcfg.block_size == 13:
+            mcfg = mcfg.replace(block_size=5)  # SGBM reference block size
+        self.matcher_config = mcfg
+
+        hsv = cfg.hsv_range()
+        self.hsv_low = np.asarray(hsv.low, np.uint8)
+        self.hsv_high = np.asarray(hsv.high, np.uint8)
+
+        self.stats = ExecTimeStats(cfg.enable_execution_time_measurement)
+        self._last: Tuple[Optional[np.ndarray], Optional[np.ndarray]] = (None, None)
+        self._step = jax.jit(self._build_frame_fn())
+        self._frames_done = 0
+
+    # -- device program ----------------------------------------------------
+    def _build_frame_fn(self) -> Callable:
+        cfg = self.cfg
+        mcfg = self.matcher_config
+        rx, ry, rw, rh = self.roi
+        grid_l = jnp.asarray(self.map_left)
+        grid_r = jnp.asarray(self.map_right)
+        Q = jnp.asarray(self.Q, jnp.float32)
+        kernel = ellipse_kernel(MORPH_DX, MORPH_DY)
+
+        def frame_fn(left_rgb, right_rgb, hsv_low, hsv_high, min_size):
+            lg = rgb_to_gray(left_rgb)
+            rg = rgb_to_gray(right_rgb)
+            # rectify + ROI crop (estimator.cpp:32-38)
+            lrect = remap_bilinear(lg, grid_l)[ry : ry + rh, rx : rx + rw]
+            rrect = remap_bilinear(rg, grid_r)[ry : ry + rh, rx : rx + rw]
+            rgbr = remap_bilinear(left_rgb, grid_l)[ry : ry + rh, rx : rx + rw]
+
+            # detection path (estimator.cpp:41-56)
+            hsv = rgb_to_hsv(rgbr)
+            mask = in_range(hsv, hsv_low, hsv_high)
+            filt = morph_open_close(mask, kernel)
+            boxes = detect_objects(filt, min_size, cfg.max_objects)
+            mroi = matching_region(boxes)
+
+            # matcher (estimator.cpp:57; ROI2 intentionally unset --
+            # the reference's /*FIXME*/ at estimator.cpp:55)
+            if mcfg.kind == "sgm":
+                disp = stereo_sgbm(lrect, rrect, mcfg)
+            else:
+                disp = stereo_bm(lrect, rrect, mcfg, roi1=mroi, roi2=None)
+
+            # depth (estimator.cpp:75-77)
+            dint = disparity_fixed_to_float(disp)
+            xyz = reproject_to_3d(dint, Q, mcfg.min_disparity, True)
+            depth_cm, mean_z, count = calc_depth(
+                xyz, filt, boxes, cfg.calibration_unit_mm
+            )
+            return dict(
+                disparity=disp,
+                boxes=boxes,
+                depth_cm=depth_cm,
+                mean_z=mean_z,
+                count=count,
+                mask=filt,
+                rgb_rect=rgbr,
+            )
+
+        return frame_fn
+
+    # -- host loop ---------------------------------------------------------
+    def _decode_eye(self, frame, slot: int) -> Optional[np.ndarray]:
+        if frame.encoding == "raw":
+            return frame.array
+        arr = self.decoder.decode(frame.data, self.source.width, self.source.height)
+        if arr is None:
+            # corrupt frame: keep previous image (mjpeg-decoder-sw.cpp:108-110)
+            return self._last[slot]
+        return arr
+
+    def process_pair(self, left_rgb: np.ndarray, right_rgb: np.ndarray) -> FrameResult:
+        """Run the device program on one decoded RGB pair."""
+        out = self._step(
+            jnp.asarray(left_rgb),
+            jnp.asarray(right_rgb),
+            jnp.asarray(self.hsv_low),
+            jnp.asarray(self.hsv_high),
+            jnp.int32(self.min_object_size),
+        )
+        out = jax.tree_util.tree_map(np.asarray, out)
+        return FrameResult(**out)
+
+    def step(self) -> Optional[FrameResult]:
+        """One iteration of the frame loop (estimator.cpp:18-82)."""
+        st = self.stats
+        st.start_iteration()
+        with st.measure("grabOneFrame"):
+            lf, rf = self.source.grab()
+        with st.measure("decode"):
+            left = self._decode_eye(lf, 0)
+            right = self._decode_eye(rf, 1)
+        if left is None or right is None:
+            return None  # nothing decoded yet at all
+        self._last = (left, right)
+        with st.measure("h2d+device+d2h"):
+            result = self.process_pair(left, right)
+        self._frames_done += 1
+        return result
+
+    def run(
+        self,
+        frames: Optional[int] = None,
+        on_frame: Optional[Callable[[int, FrameResult], None]] = None,
+        print_stats_on_sigint: bool = True,
+    ) -> int:
+        """Blocking frame loop; frames=None runs until SIGINT (while(1)
+        parity). Returns the number of frames processed."""
+        stop = {"flag": False}
+
+        def handler(signum, frame):
+            # SIGINT -> stats report -> exit (main.cpp:100-106 parity)
+            stop["flag"] = True
+            if print_stats_on_sigint:
+                print(self.stats.report(), file=sys.stderr)
+
+        old = None
+        if print_stats_on_sigint:
+            try:
+                old = signal.signal(signal.SIGINT, handler)
+            except ValueError:
+                old = None  # non-main thread
+
+        try:
+            i = 0
+            while frames is None or i < frames:
+                if stop["flag"]:
+                    break
+                result = self.step()
+                if result is not None and on_frame is not None:
+                    on_frame(i, result)
+                i += 1
+            return i
+        finally:
+            if old is not None:
+                signal.signal(signal.SIGINT, old)
+
+    def warmup(self) -> float:
+        """Compile the device program; returns compile seconds."""
+        W, H = self.source.width, self.source.height
+        z = np.zeros((H, W, 3), np.uint8)
+        t0 = time.perf_counter()
+        jax.block_until_ready(self.process_pair(z, z).disparity)
+        return time.perf_counter() - t0
+
+    def close(self) -> None:
+        self.source.close()

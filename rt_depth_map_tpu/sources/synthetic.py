@@ -1,0 +1,175 @@
+"""Deterministic seeded synthetic stereo sequence with ground truth.
+
+The reference ships no recorded image data (SURVEY.md section 4), so
+repeatable benchmarks and integration tests synthesize their own: a textured
+background plane plus colored (HSV-detectable, default "red") rectangular
+objects at known depths, rendered directly in rectified space so per-pixel
+ground-truth disparity is exact (right view = per-layer horizontal shift,
+painter's order far-to-near for correct occlusion).
+
+Disparity follows the Bouguet Q geometry: d = f * B / Z with the synthetic
+rig's focal length and baseline; `q_matrix()` returns the matching
+reprojection matrix so reproject_to_3d recovers the designed depths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from rt_depth_map_tpu.sources.base import StereoFrame
+
+
+@dataclasses.dataclass(frozen=True)
+class SyntheticObject:
+    x: int  # left-view top-left (at frame 0)
+    y: int
+    w: int
+    h: int
+    z_units: float  # depth in calibration units
+    vx: float = 0.0  # px/frame motion
+    vy: float = 0.0
+    rgb: Tuple[int, int, int] = (200, 30, 30)  # detectable "red"
+
+
+class SyntheticStereoSource:
+    """Seeded generator; every frame is a pure function of (seed, index)."""
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        seed: int = 0,
+        focal_px: Optional[float] = None,
+        baseline_units: float = 4.8,  # ~12 cm at 25 mm units
+        background_z_units: float = 160.0,  # 4 m
+        num_objects: int = 3,
+        objects: Optional[List[SyntheticObject]] = None,  # explicit placement
+        encode: str = "raw",  # "raw" | "mjpeg" (exercises the decode stage)
+        jpeg_quality: int = 92,
+    ):
+        self.width = width
+        self.height = height
+        self.rectified = True
+        self.seed = seed
+        self.f = float(focal_px if focal_px is not None else 0.9 * width)
+        self.baseline = baseline_units
+        self.bg_z = background_z_units
+        self.encode = encode
+        self.jpeg_quality = jpeg_quality
+        self._idx = 0
+
+        rng = np.random.default_rng(seed)
+        # background texture, wider than the frame so the right view's shift
+        # samples real texture instead of a border
+        pad = int(np.ceil(self.f * self.baseline / 8.0)) + 8  # max disparity pad
+        tex = rng.integers(40, 220, size=(height, width + pad, 3), dtype=np.uint8)
+        # separable 5-tap box blur for SAD-friendly texture
+        k = 5
+        csum = np.cumsum(
+            np.pad(tex.astype(np.int32), ((0, 0), (k // 2 + 1, k // 2), (0, 0))),
+            axis=1,
+        )
+        tex = ((csum[:, k:] - csum[:, :-k]) // k).astype(np.int32)
+        csum = np.cumsum(np.pad(tex, ((k // 2 + 1, k // 2), (0, 0), (0, 0))), axis=0)
+        self._tex = ((csum[k:] - csum[:-k]) // k).astype(np.uint8)
+
+        if objects is not None:
+            self.objects = list(objects)
+        else:
+            self.objects = []
+            for i in range(num_objects):
+                w = int(rng.integers(width // 12, width // 6))
+                h = int(rng.integers(height // 10, height // 5))
+                self.objects.append(
+                    SyntheticObject(
+                        x=int(rng.integers(width // 8, width - w - width // 8)),
+                        y=int(rng.integers(height // 8, height - h - height // 8)),
+                        w=w,
+                        h=h,
+                        z_units=float(rng.uniform(24.0, 96.0)),  # 0.6m - 2.4m
+                        vx=float(rng.uniform(-1.5, 1.5)),
+                        vy=float(rng.uniform(-0.8, 0.8)),
+                    )
+                )
+        # Non-repeating green-channel texture: gives SAD/SGM unambiguous
+        # gradients (periodic patterns alias the disparity search) while the
+        # whole object stays inside the "red" inRange gate -- g in [30, 78]
+        # keeps hue <= 9 (H = 180*(g-b)/(6*(v-min)) with r=200, b=30 gives
+        # h <= 180*48/1020 ~= 8.5).
+        self._obj_tex = [
+            rng.integers(30, 78, size=(o.h, o.w), dtype=np.uint8)
+            for o in self.objects
+        ]
+
+    # -- geometry ---------------------------------------------------------
+    def disparity_of(self, z_units: float) -> float:
+        return self.f * self.baseline / z_units
+
+    def q_matrix(self) -> np.ndarray:
+        """Bouguet Q (CALIB_ZERO_DISPARITY) consistent with disparity_of."""
+        Q = np.zeros((4, 4), dtype=np.float64)
+        Q[0, 0] = Q[1, 1] = 1.0
+        Q[0, 3] = -self.width / 2.0
+        Q[1, 3] = -self.height / 2.0
+        Q[2, 3] = self.f
+        Q[3, 2] = 1.0 / self.baseline
+        return Q
+
+    # -- rendering --------------------------------------------------------
+    def render(self, index: int):
+        """(left_rgb, right_rgb, gt_disparity float32, boxes) for one frame."""
+        H, W = self.height, self.width
+        d_bg = self.disparity_of(self.bg_z)
+        left = self._tex[:, : W].copy()
+        # right view: background sampled shifted right->left by d_bg
+        off = int(round(d_bg))
+        right = self._tex[:, off : off + W].copy()
+        gt = np.full((H, W), d_bg, dtype=np.float32)
+
+        # painter's order: far to near
+        boxes = []
+        order = sorted(range(len(self.objects)), key=lambda i: -self.objects[i].z_units)
+        for oi in order:
+            obj = self.objects[oi]
+            d = self.disparity_of(obj.z_units)
+            x = int(round(obj.x + obj.vx * index)) % max(W - obj.w, 1)
+            y = int(round(obj.y + obj.vy * index)) % max(H - obj.h, 1)
+            color = np.asarray(obj.rgb, np.uint8)
+            left[y : y + obj.h, x : x + obj.w] = color
+            left[y : y + obj.h, x : x + obj.w, 1] = self._obj_tex[oi]
+            xr0 = x - int(round(d))
+            xr_lo, xr_hi = max(xr0, 0), min(xr0 + obj.w, W)
+            if xr_hi > xr_lo:
+                right[y : y + obj.h, xr_lo:xr_hi] = left[
+                    y : y + obj.h, xr_lo + int(round(d)) : xr_hi + int(round(d))
+                ]
+            gt[y : y + obj.h, x : x + obj.w] = d
+            boxes.append((x, y, obj.w, obj.h, obj.z_units))
+        return left, right, gt, boxes
+
+    # -- StereoSource protocol ---------------------------------------------
+    def grab(self) -> Tuple[StereoFrame, StereoFrame]:
+        left, right, _, _ = self.render(self._idx)
+        self._idx += 1
+        if self.encode == "mjpeg":
+            return self._encode(left), self._encode(right)
+        return (
+            StereoFrame(encoding="raw", array=left),
+            StereoFrame(encoding="raw", array=right),
+        )
+
+    def _encode(self, rgb: np.ndarray) -> StereoFrame:
+        import cv2
+
+        ok, buf = cv2.imencode(
+            ".jpg", rgb[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, self.jpeg_quality]
+        )
+        if not ok:
+            raise RuntimeError("jpeg encode failed")
+        return StereoFrame(encoding="mjpeg", data=buf.tobytes())
+
+    def close(self) -> None:
+        pass

@@ -1,0 +1,178 @@
+"""Live V4L2 MJPEG stereo capture.
+
+Re-creates V4LStreamStereoDevice (v4l2-stream-stereo-device.cpp:13-133):
+per-device QUERYCAP -> S_FMT(MJPEG, w, h) -> REQBUFS(MMAP, count=1) ->
+QUERYBUF -> mmap -> STREAMON, then per frame QBUF both eyes before DQBUF both
+(software L/R sync). Implemented with raw ioctls via ctypes against
+videodev2.h ABI -- no external deps. Single buffer per camera matches the
+reference's queue depth (count=1, v4l2-stream-stereo-device.cpp:57).
+
+Only importable on Linux with real /dev/video* devices; everything else in
+the framework uses the synthetic/file sources.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import fcntl
+import mmap
+import os
+from typing import Tuple
+
+from rt_depth_map_tpu.sources.base import StereoFrame
+
+# videodev2.h ABI (stable uapi)
+_VIDIOC_QUERYCAP = 0x80685600
+_VIDIOC_S_FMT = 0xC0D05605
+_VIDIOC_REQBUFS = 0xC0145608
+_VIDIOC_QUERYBUF = 0xC0585609
+_VIDIOC_QBUF = 0xC058560F
+_VIDIOC_DQBUF = 0xC0585611
+_VIDIOC_STREAMON = 0x40045612
+_VIDIOC_STREAMOFF = 0x40045613
+
+_V4L2_BUF_TYPE_VIDEO_CAPTURE = 1
+_V4L2_MEMORY_MMAP = 1
+_V4L2_PIX_FMT_MJPEG = 0x47504A4D  # 'MJPG'
+
+
+class _v4l2_pix_format(ctypes.Structure):
+    _fields_ = [
+        ("width", ctypes.c_uint32),
+        ("height", ctypes.c_uint32),
+        ("pixelformat", ctypes.c_uint32),
+        ("field", ctypes.c_uint32),
+        ("bytesperline", ctypes.c_uint32),
+        ("sizeimage", ctypes.c_uint32),
+        ("colorspace", ctypes.c_uint32),
+        ("priv", ctypes.c_uint32),
+        ("flags", ctypes.c_uint32),
+        ("enc", ctypes.c_uint32),
+        ("quantization", ctypes.c_uint32),
+        ("xfer_func", ctypes.c_uint32),
+    ]
+
+
+class _v4l2_format(ctypes.Structure):
+    _fields_ = [
+        ("type", ctypes.c_uint32),
+        ("fmt", _v4l2_pix_format),
+        ("_pad", ctypes.c_uint8 * 156),
+    ]
+
+
+class _v4l2_requestbuffers(ctypes.Structure):
+    _fields_ = [
+        ("count", ctypes.c_uint32),
+        ("type", ctypes.c_uint32),
+        ("memory", ctypes.c_uint32),
+        ("capabilities", ctypes.c_uint32),
+        ("flags", ctypes.c_uint8),
+        ("reserved", ctypes.c_uint8 * 3),
+    ]
+
+
+class _v4l2_buffer(ctypes.Structure):
+    class _m(ctypes.Union):
+        _fields_ = [
+            ("offset", ctypes.c_uint32),
+            ("userptr", ctypes.c_ulong),
+            ("planes", ctypes.c_void_p),
+            ("fd", ctypes.c_int32),
+        ]
+
+    _fields_ = [
+        ("index", ctypes.c_uint32),
+        ("type", ctypes.c_uint32),
+        ("bytesused", ctypes.c_uint32),
+        ("flags", ctypes.c_uint32),
+        ("field", ctypes.c_uint32),
+        ("timestamp", ctypes.c_uint64 * 2),
+        ("timecode", ctypes.c_uint32 * 8),
+        ("sequence", ctypes.c_uint32),
+        ("memory", ctypes.c_uint32),
+        ("m", _m),
+        ("length", ctypes.c_uint32),
+        ("reserved2", ctypes.c_uint32),
+        ("request_fd", ctypes.c_int32),
+    ]
+
+
+class _Camera:
+    def __init__(self, device: str, width: int, height: int):
+        self.fd = os.open(device, os.O_RDWR)
+        fmt = _v4l2_format()
+        fmt.type = _V4L2_BUF_TYPE_VIDEO_CAPTURE
+        fmt.fmt.width = width
+        fmt.fmt.height = height
+        fmt.fmt.pixelformat = _V4L2_PIX_FMT_MJPEG
+        fcntl.ioctl(self.fd, _VIDIOC_S_FMT, fmt)
+
+        req = _v4l2_requestbuffers()
+        req.count = 1
+        req.type = _V4L2_BUF_TYPE_VIDEO_CAPTURE
+        req.memory = _V4L2_MEMORY_MMAP
+        fcntl.ioctl(self.fd, _VIDIOC_REQBUFS, req)
+
+        buf = _v4l2_buffer()
+        buf.index = 0
+        buf.type = _V4L2_BUF_TYPE_VIDEO_CAPTURE
+        buf.memory = _V4L2_MEMORY_MMAP
+        fcntl.ioctl(self.fd, _VIDIOC_QUERYBUF, buf)
+        self.mm = mmap.mmap(
+            self.fd, buf.length, mmap.MAP_SHARED,
+            mmap.PROT_READ | mmap.PROT_WRITE, offset=buf.m.offset,
+        )
+        fcntl.ioctl(
+            self.fd, _VIDIOC_STREAMON,
+            ctypes.c_int(_V4L2_BUF_TYPE_VIDEO_CAPTURE),
+        )
+
+    def queue(self) -> None:
+        buf = _v4l2_buffer()
+        buf.index = 0
+        buf.type = _V4L2_BUF_TYPE_VIDEO_CAPTURE
+        buf.memory = _V4L2_MEMORY_MMAP
+        fcntl.ioctl(self.fd, _VIDIOC_QBUF, buf)
+
+    def dequeue(self) -> bytes:
+        buf = _v4l2_buffer()
+        buf.type = _V4L2_BUF_TYPE_VIDEO_CAPTURE
+        buf.memory = _V4L2_MEMORY_MMAP
+        fcntl.ioctl(self.fd, _VIDIOC_DQBUF, buf)
+        return self.mm[: buf.bytesused]
+
+    def close(self) -> None:
+        try:
+            fcntl.ioctl(
+                self.fd, _VIDIOC_STREAMOFF,
+                ctypes.c_int(_V4L2_BUF_TYPE_VIDEO_CAPTURE),
+            )
+        finally:
+            self.mm.close()
+            os.close(self.fd)
+
+
+class V4L2StereoSource:
+    """Two-camera synchronized capture (QBUF both, then DQBUF both --
+    v4l2-stream-stereo-device.cpp:112-133 software sync)."""
+
+    def __init__(self, left_device: str, right_device: str, width: int, height: int):
+        self.width, self.height = width, height
+        self.rectified = False
+        self.left = _Camera(left_device, width, height)
+        self.right = _Camera(right_device, width, height)
+
+    def grab(self) -> Tuple[StereoFrame, StereoFrame]:
+        self.left.queue()
+        self.right.queue()
+        lbytes = self.left.dequeue()
+        rbytes = self.right.dequeue()
+        return (
+            StereoFrame(encoding="mjpeg", data=lbytes),
+            StereoFrame(encoding="mjpeg", data=rbytes),
+        )
+
+    def close(self) -> None:
+        self.left.close()
+        self.right.close()
