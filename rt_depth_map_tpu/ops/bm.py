@@ -32,23 +32,32 @@ from rt_depth_map_tpu.ops.speckle import filter_speckles
 
 DISP_SHIFT = 4
 DISP_SCALE = 1 << DISP_SHIFT
-_BIGCOST = jnp.int32(2**28)
+_BIGCOST = 2**28  # python int, see ops/cc.py note on module-scope jnp scalars
+
+
+def _sliding_sum(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
+    """Centered zero-padded sliding sum along `axis` via prefix sums:
+    out[i] = sum x[i-w2 .. i+w2] -- two static slices of the cumsum, no
+    reduce_window (slow for int on TPU) and no gathers."""
+    w2 = size // 2
+    c = jnp.cumsum(x, axis=axis, dtype=x.dtype)
+    N = x.shape[axis]
+    # ext[k] = cumsum up to (exclusive) clamp(k - w2, 0, N)
+    pad_hi = [(0, 0)] * x.ndim
+    pad_hi[axis] = (0, w2)
+    pad_lo = [(0, 0)] * x.ndim
+    pad_lo[axis] = (w2 + 1, 0)
+    ext = jnp.pad(jnp.pad(c, pad_hi, mode="edge"), pad_lo)
+    hi = jax.lax.slice_in_dim(ext, 2 * w2 + 1, 2 * w2 + 1 + N, axis=axis)
+    lo = jax.lax.slice_in_dim(ext, 0, N, axis=axis)
+    return hi - lo
 
 
 def _box_filter_2d(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Centered (size x size) sliding sum over the last two dims; border
-    outputs are garbage (masked by the caller's valid region)."""
-    w2 = size // 2
-    pads = [(0, 0)] * (x.ndim - 2) + [(w2, w2), (w2, w2)]
-    xp = jnp.pad(x, pads)
-    window = (1,) * (x.ndim - 2) + (size, 1)
-    s = jax.lax.reduce_window(
-        xp, jnp.int32(0), jax.lax.add, window, (1,) * x.ndim, "VALID"
-    )
-    window = (1,) * (x.ndim - 2) + (1, size)
-    return jax.lax.reduce_window(
-        s, jnp.int32(0), jax.lax.add, window, (1,) * x.ndim, "VALID"
-    )
+    """Centered (size x size) zero-padded sliding sum over the last two dims;
+    border outputs are garbage (masked by the caller's valid region)."""
+    s = _sliding_sum(x, size, x.ndim - 2)
+    return _sliding_sum(s, size, x.ndim - 1)
 
 
 def _cost_volume(lp: jnp.ndarray, rp: jnp.ndarray, num_disp: int, min_disp: int,
@@ -84,27 +93,27 @@ def _lr_check(disp: jnp.ndarray, cost: jnp.ndarray, min_disp: int,
     x2 = xs - d_int
     in_range = ok & (x2 >= 0) & (x2 < W)
 
-    # packed (cost, x) key: min over key = lexicographic (cost, x), which is
-    # exactly "first (leftmost) strictly-lower-cost wins".
-    xpow = 1
-    while xpow < W:
-        xpow *= 2
-    key = cost * xpow + xs
-    key = jnp.where(in_range, key, _BIGCOST * 4)
+    # Packed (cost, d32) key: min over key = lexicographic (cost, x), because
+    # within one target bin x2 the left x ascends exactly with d32
+    # (x = x2 + d_int and (d32+8)>>4 = d_int maps disjoint d32 ranges to each
+    # d_int) -- so this reproduces "first (leftmost) strictly-lower-cost
+    # wins" while making the winner's disparity recoverable from the key
+    # itself, saving a per-pixel gather. cost <= win^2*255 < 2^18 and
+    # Dpow = 2^13 keep the key inside int32.
+    Dpow = 1 << 13
+    off = 1 << 11
+    key = cost * Dpow + (d32 + off)
+    key = jnp.where(in_range, key, jnp.iinfo(jnp.int32).max)
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     flat_idx = jnp.where(in_range, rows * W + x2, H * W)
     best_key = (
         jnp.full(H * W + 1, jnp.iinfo(jnp.int32).max, dtype=key.dtype)
         .at[flat_idx.reshape(-1)]
         .min(key.reshape(-1))
-    )
-    win_x = (best_key[: H * W] % xpow).reshape(H, W).astype(jnp.int32)
-    has_winner = best_key[: H * W].reshape(H, W) != jnp.iinfo(jnp.int32).max
+    )[: H * W].reshape(H, W)
+    has_winner = best_key != jnp.iinfo(jnp.int32).max
     # disparity of the winning left pixel for each right pixel
-    win_lin = rows * W + jnp.clip(win_x, 0, W - 1)
-    disp2 = jnp.where(
-        has_winner, d32.reshape(-1)[win_lin.reshape(-1)].reshape(H, W), invalid
-    )
+    disp2 = jnp.where(has_winner, best_key % Dpow - off, invalid)
     # validate: |disp2[x2] - d| > max_diff*16 -> invalid
     disp2_at = jnp.where(
         in_range,
@@ -169,12 +178,11 @@ def stereo_bm(
         rymax = jnp.minimum(r1y + r1h, r2y + r2h) - w2
         valid = valid & (xs >= rxmin) & (xs < rxmax) & (ys >= rymin) & (ys < rymax)
 
-    # WTA, ties -> largest disparity.
+    # WTA, ties -> largest disparity. best/neighbor costs come from masked
+    # reductions over D, not per-pixel gathers (slow on TPU).
     rev = cost[::-1]
     best_i = (D - 1 - jnp.argmin(rev, axis=0)).astype(jnp.int32)
-    lin = best_i * (H * W) + ys * W + xs
-    flat = cost.reshape(D * H * W)
-    best_cost = flat[lin.reshape(-1)].reshape(H, W)
+    best_cost = jnp.min(cost, axis=0)
 
     # texture check
     texture = _box_filter_2d(
@@ -189,10 +197,9 @@ def stereo_bm(
     uniq_bad = jnp.any(outside & (cost <= thresh[None]), axis=0)
 
     # subpixel + x16 packing
-    ip = jnp.clip(best_i + 1, 0, D - 1)
-    im = jnp.clip(best_i - 1, 0, D - 1)
-    c_p1 = flat[(ip * (H * W) + ys * W + xs).reshape(-1)].reshape(H, W)
-    c_m1 = flat[(im * (H * W) + ys * W + xs).reshape(-1)].reshape(H, W)
+    BIGS = jnp.int32(2**30)
+    c_p1 = jnp.min(jnp.where(di == best_i[None] + 1, cost, BIGS), axis=0)
+    c_m1 = jnp.min(jnp.where(di == best_i[None] - 1, cost, BIGS), axis=0)
     c_m1 = jnp.where(best_i == 0, c_p1, c_m1)
     c_p1 = jnp.where(best_i == D - 1, c_m1, c_p1)
     p, n = c_m1, c_p1

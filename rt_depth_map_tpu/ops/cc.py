@@ -1,0 +1,166 @@
+"""Connected components by segmented-scan label propagation (gather-free).
+
+TPU gathers/scatters are the slowest primitive in the whole pipeline; the
+classic hook+pointer-jumping CC (flat[flat] per round) costs seconds at 720p.
+This formulation never gathers: per round,
+
+  1. neighbor hop: min over the 4- or 8-neighborhood along allowed edges
+     (pure shifts + selects on the VPU);
+  2. row sweep: segmented min-scan along x (forward + backward), segments
+     delimited by missing horizontal edges -- one `associative_scan`
+     (log2 W steps of elementwise ops);
+  3. column sweep: same along y.
+
+Each round propagates labels across an entire row/column run at once, so
+convergence takes O(boundary turns) rounds (2-3 for blob-like components, a
+`while_loop` guarantees the fixed point in general) instead of O(diameter)
+hops. Labels converge to the component's minimum linear index -- the same
+labeling contract as hook-and-jump, so sizes/bboxes downstream are unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 2**30  # python int, not jnp scalar: module-scope device constants get lifted
+# as executable parameters and the jit fast path drops them on re-dispatch
+
+
+def _shift_along(a: jnp.ndarray, n: int, axis: int, fill) -> jnp.ndarray:
+    """Shift forward by n along axis (positive n moves content toward higher
+    indices), filling with `fill`."""
+    pad = [(0, 0), (0, 0)]
+    if n > 0:
+        pad[axis] = (n, 0)
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(0, a.shape[axis])
+        return jnp.pad(a, pad, constant_values=fill)[tuple(sl)]
+    pad[axis] = (0, -n)
+    sl = [slice(None), slice(None)]
+    sl[axis] = slice(-n, a.shape[axis] - n)
+    return jnp.pad(a, pad, constant_values=fill)[tuple(sl)]
+
+
+def _seg_min_dir(labels, start, axis: int, reverse: bool) -> jnp.ndarray:
+    """Segmented prefix-min via Hillis-Steele doubling (log2 N rounds of
+    shifts -- no associative_scan, whose compiled executables currently trip
+    a buffer-count cache bug on the CPU backend)."""
+    N = labels.shape[axis]
+    m, s = labels, start
+    d = 1
+    sgn = -1 if reverse else 1
+    while d < N:
+        mm = _shift_along(m, sgn * d, axis, _BIG)
+        ss = _shift_along(s, sgn * d, axis, True)
+        m = jnp.where(s, m, jnp.minimum(m, mm))
+        s = s | ss
+        d *= 2
+    return m
+
+
+def _seg_min_scan(labels: jnp.ndarray, allowed: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Min label within each allowed-edge run along `axis` (both directions).
+
+    labels: (H, W) int32. allowed: edge mask along `axis` with one fewer
+    element on that axis (True = neighbors connected).
+    """
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (1, 0)
+    start_f = jnp.pad(~allowed, pad, constant_values=True)
+    fwd = _seg_min_dir(labels, start_f, axis, reverse=False)
+
+    pad[axis] = (0, 1)
+    start_b = jnp.pad(~allowed, pad, constant_values=True)
+    bwd = _seg_min_dir(labels, start_b, axis, reverse=True)
+    return jnp.minimum(fwd, bwd)
+
+
+def _shift2(a: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    H, W = a.shape
+    out = a
+    if dy > 0:
+        out = jnp.concatenate([jnp.full((dy, W), fill, a.dtype), out[:-dy]], 0)
+    elif dy < 0:
+        out = jnp.concatenate([out[-dy:], jnp.full((-dy, W), fill, a.dtype)], 0)
+    if dx > 0:
+        out = jnp.concatenate([jnp.full((H, dx), fill, a.dtype), out[:, :-dx]], 1)
+    elif dx < 0:
+        out = jnp.concatenate([out[:, -dx:], jnp.full((H, -dx), fill, a.dtype)], 1)
+    return out
+
+
+def connected_components_scan(
+    values: jnp.ndarray,
+    active: jnp.ndarray,
+    max_diff,
+    connectivity: int = 4,
+) -> jnp.ndarray:
+    """Labels (min linear index per component) of `active` pixels whose
+    edge-adjacent values differ by <= max_diff; inactive pixels keep a unique
+    self-label. connectivity: 4 (speckle/cv2.filterSpeckles) or 8
+    (cv2.findContours blobs)."""
+    H, W = values.shape
+    v = values.astype(jnp.int32)
+    md = jnp.asarray(max_diff, jnp.int32)
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+
+    allowed_h = active[:, :-1] & active[:, 1:] & (jnp.abs(v[:, :-1] - v[:, 1:]) <= md)
+    allowed_v = active[:-1, :] & active[1:, :] & (jnp.abs(v[:-1, :] - v[1:, :]) <= md)
+    diag = []
+    if connectivity == 8:
+        # edge (y, x) ~ (y+1, x+1) and (y, x+1) ~ (y+1, x)
+        a_se = (
+            active[:-1, :-1] & active[1:, 1:]
+            & (jnp.abs(v[:-1, :-1] - v[1:, 1:]) <= md)
+        )
+        a_sw = (
+            active[:-1, 1:] & active[1:, :-1]
+            & (jnp.abs(v[:-1, 1:] - v[1:, :-1]) <= md)
+        )
+        diag = [a_se, a_sw]
+
+    def hop(labels):
+        """One shift-based neighborhood min (handles diagonal links)."""
+        lab = jnp.where(active, labels, _BIG)
+        out = lab
+        l = jnp.where(allowed_h, lab[:, :-1], _BIG)
+        out = jnp.concatenate([out[:, :1], jnp.minimum(out[:, 1:], l)], axis=1)
+        r = jnp.where(allowed_h, lab[:, 1:], _BIG)
+        out = jnp.concatenate([jnp.minimum(out[:, :-1], r), out[:, -1:]], axis=1)
+        u = jnp.where(allowed_v, lab[:-1], _BIG)
+        out = jnp.concatenate([out[:1], jnp.minimum(out[1:], u)], axis=0)
+        d = jnp.where(allowed_v, lab[1:], _BIG)
+        out = jnp.concatenate([jnp.minimum(out[:-1], d), out[-1:]], axis=0)
+        if connectivity == 8:
+            a_se, a_sw = diag
+            se = jnp.where(a_se, lab[:-1, :-1], _BIG)  # -> (y+1, x+1)
+            out = out.at[1:, 1:].min(se)
+            nw = jnp.where(a_se, lab[1:, 1:], _BIG)  # -> (y, x)
+            out = out.at[:-1, :-1].min(nw)
+            sw = jnp.where(a_sw, lab[:-1, 1:], _BIG)  # -> (y+1, x)
+            out = out.at[1:, :-1].min(sw)
+            ne = jnp.where(a_sw, lab[1:, :-1], _BIG)  # -> (y, x+1)
+            out = out.at[:-1, 1:].min(ne)
+        return jnp.where(active, out, labels)
+
+    def body(state):
+        labels, _ = state
+        new = hop(labels)
+        new = jnp.where(active, _seg_min_scan(new, allowed_h, axis=1), new)
+        new = jnp.where(active, _seg_min_scan(new, allowed_v, axis=0), new)
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(lambda s: s[1], body, (idx, jnp.bool_(True)))
+    return labels
+
+
+def component_sizes(labels: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) size of each pixel's component (0 for inactive pixels)."""
+    H, W = labels.shape
+    ones = active.astype(jnp.int32).reshape(-1)
+    sizes = jnp.zeros(H * W, jnp.int32).at[labels.reshape(-1)].add(ones)
+    return jnp.where(active, sizes[labels.reshape(-1)].reshape(H, W), 0)

@@ -28,7 +28,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.int32(2**30)
+_BIG = 2**30  # python int, not jnp scalar: module-scope device constants get lifted
+# as executable parameters and the jit fast path drops them on re-dispatch
 
 
 def _neighbor_min8(labels: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
@@ -59,24 +60,12 @@ def _neighbor_min8(labels: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
 
 def connected_components8(active: jnp.ndarray) -> jnp.ndarray:
     """int32 labels (min linear index per component) of 8-connected blobs;
-    inactive pixels keep a unique self-label."""
-    H, W = active.shape
-    idx = (
-        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
-        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    )
+    inactive pixels keep a unique self-label. Gather-free segmented-scan
+    implementation (ops/cc.py)."""
+    from rt_depth_map_tpu.ops.cc import connected_components_scan
 
-    def body(state):
-        labels, _ = state
-        new = _neighbor_min8(labels, active)
-        flat = new.reshape(-1)
-        for _ in range(2):
-            flat = jnp.minimum(flat, flat[flat])
-        new = flat.reshape(H, W)
-        return new, jnp.any(new != labels)
-
-    labels, _ = jax.lax.while_loop(lambda s: s[1], body, (idx, jnp.bool_(True)))
-    return labels
+    zeros = jnp.zeros(active.shape, jnp.int32)
+    return connected_components_scan(zeros, active, 0, connectivity=8)
 
 
 def detect_objects(

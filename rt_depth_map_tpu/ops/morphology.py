@@ -47,34 +47,56 @@ def _row_segments(kernel: np.ndarray):
     return segs
 
 
+def _shift_cols(x: jnp.ndarray, n: int, pad_val) -> jnp.ndarray:
+    """out[:, i] = x[:, i + n] with pad_val fill."""
+    if n == 0:
+        return x
+    if n > 0:
+        return jnp.pad(x[:, n:], ((0, 0), (0, n)), constant_values=pad_val)
+    return jnp.pad(x[:, :n], ((0, 0), (-n, 0)), constant_values=pad_val)
+
+
 def _morph(img: jnp.ndarray, kernel: np.ndarray, is_erode: bool) -> jnp.ndarray:
+    """Sliding min/max over the footprint via a shared doubling tree of
+    shifted reductions (reduce_window on integers is slow on TPU)."""
     segs = _row_segments(np.asarray(kernel))
-    H, W = img.shape
     if jnp.issubdtype(img.dtype, jnp.integer):
         pad_val = 255 if is_erode else 0
     else:
         pad_val = jnp.inf if is_erode else -jnp.inf
-    reducer = jax.lax.min if is_erode else jax.lax.max
+    reducer = jnp.minimum if is_erode else jnp.maximum
     x = img
 
-    # Horizontal 1-D min/max per distinct segment width (widths repeat across
-    # rows of an ellipse; compute each once).
     widths = {}
     for dy, dxl, dxr in segs:
         widths.setdefault((dxl, dxr), []).append(dy)
+    max_len = max(dxr - dxl + 1 for (dxl, dxr) in widths)
+    maxl = max(-dxl for (dxl, _) in widths)
+    maxr = max(dxr for (_, dxr) in widths)
+    W = x.shape[1]
+
+    # pad once so border windows see neutral taps (cv2 BORDER_CONSTANT with
+    # +inf/-inf), then build a doubling tree of left-aligned reductions:
+    # f[k][:, i] = reduce over xp[:, i .. i+2^k-1]
+    xp = jnp.pad(x, ((0, 0), (maxl, maxr)), constant_values=pad_val)
+    f = [xp]
+    k = 1
+    while k < max_len:
+        f.append(reducer(f[-1], _shift_cols(f[-1], k, pad_val)))
+        k *= 2
+
+    def left_aligned(length):
+        if length == 1:
+            return f[0]
+        m = (length - 1).bit_length() - 1  # largest power of two <= length
+        if (1 << m) > length:
+            m -= 1
+        return reducer(f[m], _shift_cols(f[m], length - (1 << m), pad_val))
 
     out = None
     for (dxl, dxr), dys in widths.items():
-        wlen = dxr - dxl + 1
-        padded = jnp.pad(x, ((0, 0), (-dxl, dxr)), constant_values=pad_val)
-        row_red = jax.lax.reduce_window(
-            padded,
-            jnp.asarray(pad_val, x.dtype),
-            reducer,
-            window_dimensions=(1, wlen),
-            window_strides=(1, 1),
-            padding="VALID",
-        )  # (H, W): horizontal reduction centered at anchor
+        g = left_aligned(dxr - dxl + 1)
+        row_red = g[:, maxl + dxl : maxl + dxl + W]
         for dy in dys:
             if dy > 0:
                 shifted = jnp.pad(

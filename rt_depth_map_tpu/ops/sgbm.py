@@ -37,7 +37,7 @@ from rt_depth_map_tpu.ops.speckle import filter_speckles
 
 DISP_SHIFT = 4
 DISP_SCALE = 1 << DISP_SHIFT
-MAX_COST = jnp.int32(32767)
+MAX_COST = 32767  # python int: jnp scalars at module scope become lifted consts (jit fast-path bug)
 
 
 def _clip_tab(v: jnp.ndarray, ftzero: int) -> jnp.ndarray:
@@ -118,18 +118,38 @@ def sgbm_cost_volume(
     pix = pix[:, minX1:maxX1]  # (H, W1, D)
 
     sw2 = block_size // 2
-    xs = jnp.clip(
-        jnp.arange(width1)[None, :] + jnp.arange(-sw2, sw2 + 1)[:, None],
-        0, width1 - 1,
-    )  # (win, W1)
-    acc = jnp.sum(pix[:, xs.reshape(-1)].reshape(H, 2 * sw2 + 1, width1, num_disp),
-                  axis=1)
-    ys = jnp.clip(
-        jnp.arange(H)[None, :] + jnp.arange(-sw2, sw2 + 1)[:, None], 0, H - 1
-    )
-    out = jnp.sum(acc[ys.reshape(-1)].reshape(2 * sw2 + 1, H, width1, num_disp),
-                  axis=0)
+    acc = _sliding_sum_replicate(pix, block_size, axis=1)
+    out = _sliding_sum_replicate(acc, block_size, axis=0)
+    del sw2
     return out, minX1, width1
+
+
+def _sliding_sum_replicate(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
+    """out[i] = sum_{o=-w2..w2} x[clamp(i+o, 0, N-1)] along `axis` --
+    replicate-border window sum as prefix sums plus border-multiplicity
+    corrections (no gathers; the fancy-index formulation costs ~10ms at 720p
+    on TPU)."""
+    w2 = size // 2
+    N = x.shape[axis]
+    c = jnp.cumsum(x, axis=axis, dtype=x.dtype)
+    pad_hi = [(0, 0)] * x.ndim
+    pad_hi[axis] = (0, w2)
+    pad_lo = [(0, 0)] * x.ndim
+    pad_lo[axis] = (w2 + 1, 0)
+    ext = jnp.pad(jnp.pad(c, pad_hi, mode="edge"), pad_lo)
+    hi = jax.lax.slice_in_dim(ext, 2 * w2 + 1, 2 * w2 + 1 + N, axis=axis)
+    lo = jax.lax.slice_in_dim(ext, 0, N, axis=axis)
+    interior = hi - lo  # zero-padded window sum
+
+    # replicate semantics: clamped out-of-range taps read the border element
+    idx_shape = [1] * x.ndim
+    idx_shape[axis] = N
+    i = jax.lax.broadcasted_iota(jnp.int32, tuple(idx_shape), axis)
+    low_cnt = jnp.maximum(w2 - i, 0).astype(x.dtype)
+    hi_cnt = jnp.maximum(i + w2 - (N - 1), 0).astype(x.dtype)
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(x, N - 1, N, axis=axis)
+    return interior + low_cnt * first + hi_cnt * last
 
 
 def _sgm_step(Crow: jnp.ndarray, Lp: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
@@ -221,12 +241,13 @@ def _lr_check_sgbm(
     x2 = xs1 - d_int
     in_rng = valid1 & (x2 >= 0) & (x2 < W)
 
-    # packed (cost, x) key: strict-lower-cost-wins with leftmost tiebreak.
-    # max |minS| ~< 8 paths * win^2 * 236 -> fits int32 for W <= 2048.
-    xpow = 1
-    while xpow < W:
-        xpow *= 2
-    key = minS * xpow + (xs1 - minX1)
+    # Packed (cost, best) key: within one bin x2 the left x ascends exactly
+    # with the integer disparity (x = x2 + d_int), so lexicographic
+    # (minS, best) reproduces the sequential strict-lower-cost, leftmost-
+    # first update order AND carries the winner's disparity in the key (no
+    # winner gather). minS < 8 paths * win^2 * 236 < 2^23; Dpow = 256.
+    Dpow = 256  # best in [0, D), D <= 255 at any supported operating point
+    key = minS * Dpow + best
     BIGKEY = jnp.iinfo(jnp.int32).max
     key = jnp.where(in_rng, key, BIGKEY)
     flat_idx = jnp.where(in_rng, ys1 * W + x2, H * W)
@@ -235,17 +256,13 @@ def _lr_check_sgbm(
         .at[flat_idx.reshape(-1)]
         .min(key.reshape(-1))
     )[: H * W].reshape(H, W)
-    win_j = best_key % xpow
     has = best_key != BIGKEY
-    d_flat = d_int.reshape(-1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    disp2 = jnp.where(
-        has,
-        d_flat[(rows * width1 + jnp.clip(win_j, 0, width1 - 1)).reshape(-1)].reshape(H, W),
-        INVALID,
-    )
+    disp2 = jnp.where(has, best_key % Dpow + min_disp, INVALID)
 
-    # validate every computed-range pixel against both floor & ceil candidates
+    # validate every computed-range pixel against both floor & ceil
+    # candidates. d_ is _d or _d+1, so x_ is _x or _x-1: pack disp2[x] and
+    # disp2[x-1] into one int32 and read both with a single gather.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xsW = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     ok_range = (xsW >= minX1) & (xsW < minX1 + width1)
     d1 = d16
@@ -255,13 +272,36 @@ def _lr_check_sgbm(
     _x = xsW - _d
     x_ = xsW - d_
 
-    def at(arr, xi):
-        ok = (xi >= 0) & (xi < W)
-        lin = rows * W + jnp.clip(xi, 0, W - 1)
-        return jnp.where(ok, arr.reshape(-1)[lin.reshape(-1)].reshape(H, W), INVALID), ok
+    doff = 1 << 14  # makes INVALID and min_disp-relative values nonnegative
+    d2p = disp2 + doff
+    d2_left = jnp.concatenate(
+        [jnp.full((H, 1), INVALID + doff, jnp.int32), d2p[:, :-1]], axis=1
+    )
+    pairs = d2p | (d2_left << 16)
 
-    d2a, oka = at(disp2, _x)
-    d2b, okb = at(disp2, x_)
+    oka = (_x >= 0) & (_x < W)
+    lin = rows * W + jnp.clip(_x, 0, W - 1)
+    got = pairs.reshape(-1)[lin.reshape(-1)].reshape(H, W)
+    d2a = jnp.where(oka, (got & 0xFFFF) - doff, INVALID)
+    okb = (x_ >= 0) & (x_ < W)
+    d2b_shift = jnp.where(oka & (d_ != _d), (got >> 16) - doff, d2a)
+    # when x_ == _x - 1 but _x itself was out of range, fall back to direct
+    # bounds handling: x_ = _x - 1 >= 0 requires _x >= 1; if _x == W (out),
+    # x_ == W - 1 must be read -- handle by clamping the pair gather: _x == W
+    # reads pairs[W-1] whose high half is disp2[W-2]... instead gather at
+    # clip keeps low=disp2[W-1]; select accordingly.
+    d2b = jnp.where(
+        okb,
+        jnp.where(
+            oka,
+            d2b_shift,
+            # _x out of range but x_ in range: only possible at _x == W,
+            # x_ == W-1 (d_ == _d + 1); the clipped gather read
+            # pairs[W-1] whose LOW half is disp2[W-1] == disp2[x_]
+            (got & 0xFFFF) - doff,
+        ),
+        INVALID,
+    )
     bad = (
         validW
         & oka & (d2a >= min_disp) & (jnp.abs(d2a - _d) > max_diff)
@@ -291,14 +331,10 @@ def stereo_sgbm(
     )
     S = aggregate_cost(C, p1, p2, 8 if cfg.num_paths >= 8 else 4)
 
-    # WTA: ties -> smallest d
+    # WTA: ties -> smallest d. minS/neighbor costs are masked reductions over
+    # the D (lane) axis -- per-pixel gathers are far slower on TPU.
     best = jnp.argmin(S, axis=2).astype(jnp.int32)  # (H, W1)
-    lin = (
-        jax.lax.broadcasted_iota(jnp.int32, (H, width1), 0) * (width1 * D)
-        + jax.lax.broadcasted_iota(jnp.int32, (H, width1), 1) * D
-    )
-    Sf = S.reshape(-1)
-    minS = Sf[(lin + best).reshape(-1)].reshape(H, width1)
+    minS = jnp.min(S, axis=2)
 
     # uniqueness (SGBM form): reject if any d outside best+/-1 has
     # S[d]*(100-ratio) < minS*100
@@ -311,8 +347,11 @@ def stereo_sgbm(
 
     # parabolic subpixel (only with both neighbors in range)
     has_nb = (best > 0) & (best < D - 1)
-    sm = Sf[(lin + jnp.clip(best - 1, 0, D - 1)).reshape(-1)].reshape(H, width1)
-    sp = Sf[(lin + jnp.clip(best + 1, 0, D - 1)).reshape(-1)].reshape(H, width1)
+    BIGS = jnp.int32(2**30)
+    sm = jnp.min(jnp.where(di == best[..., None] - 1, S, BIGS), axis=2)
+    sp = jnp.min(jnp.where(di == best[..., None] + 1, S, BIGS), axis=2)
+    sm = jnp.where(best > 0, sm, minS)
+    sp = jnp.where(best < D - 1, sp, minS)
     denom2 = jnp.maximum(sm + sp - 2 * minS, 1)
     num = (sm - sp) * DISP_SCALE + denom2
     sub = jnp.sign(num) * (jnp.abs(num) // (denom2 * 2))

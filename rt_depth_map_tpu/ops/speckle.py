@@ -19,7 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.int32(2**30)
+_BIG = 2**30  # python int, not jnp scalar: module-scope device constants get lifted
+# as executable parameters and the jit fast path drops them on re-dispatch
 
 
 def _neighbor_min(labels: jnp.ndarray, allowed_h: jnp.ndarray, allowed_v: jnp.ndarray) -> jnp.ndarray:
@@ -90,12 +91,15 @@ def filter_speckles(
     max_size: int,
     max_diff: int,
 ) -> jnp.ndarray:
-    """cv::filterSpeckles parity on an int disparity map (x16 units)."""
-    H, W = disp.shape
+    """cv::filterSpeckles parity on an int disparity map (x16 units).
+
+    Uses the gather-free segmented-scan CC (ops/cc.py) -- the original
+    hook+pointer-jump labeling (connected_components above, kept for
+    reference/tests) costs seconds at 720p on TPU."""
+    from rt_depth_map_tpu.ops.cc import component_sizes, connected_components_scan
+
     active = disp != new_val
-    labels = connected_components(disp, active, jnp.int32(max_diff))
-    ones = active.astype(jnp.int32).reshape(-1)
-    sizes = jnp.zeros(H * W, dtype=jnp.int32).at[labels.reshape(-1)].add(ones)
-    comp_size = sizes[labels.reshape(-1)].reshape(H, W)
+    labels = connected_components_scan(disp, active, jnp.int32(max_diff), 4)
+    comp_size = component_sizes(labels, active)
     small = active & (comp_size <= max_size)
     return jnp.where(small, jnp.asarray(new_val, disp.dtype), disp)

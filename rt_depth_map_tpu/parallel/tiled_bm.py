@@ -93,9 +93,7 @@ def _tile_wta(cost, lp_ext, cfg: MatcherConfig, x0, W_full):
 
     rev = cost_c[::-1]
     best_i = (D - 1 - jnp.argmin(rev, axis=0)).astype(jnp.int32)
-    lin = best_i * (H * Wloc) + ys * Wloc + (xs - x0)
-    flat = cost_c.reshape(D * H * Wloc)
-    best_cost = flat[lin.reshape(-1)].reshape(H, Wloc)
+    best_cost = jnp.min(cost_c, axis=0)
 
     texture = _box_filter_2d(
         jnp.abs(lp_ext.astype(jnp.int32) - cfg.pre_filter_cap), bs
@@ -107,10 +105,9 @@ def _tile_wta(cost, lp_ext, cfg: MatcherConfig, x0, W_full):
     outside = jnp.abs(di - best_i[None]) > 1
     uniq_bad = jnp.any(outside & (cost_c <= thresh[None]), axis=0)
 
-    ip = jnp.clip(best_i + 1, 0, D - 1)
-    im = jnp.clip(best_i - 1, 0, D - 1)
-    c_p1 = flat[(ip * (H * Wloc) + ys * Wloc + (xs - x0)).reshape(-1)].reshape(H, Wloc)
-    c_m1 = flat[(im * (H * Wloc) + ys * Wloc + (xs - x0)).reshape(-1)].reshape(H, Wloc)
+    BIGS = jnp.int32(2**30)
+    c_p1 = jnp.min(jnp.where(di == best_i[None] + 1, cost_c, BIGS), axis=0)
+    c_m1 = jnp.min(jnp.where(di == best_i[None] - 1, cost_c, BIGS), axis=0)
     c_m1 = jnp.where(best_i == 0, c_p1, c_m1)
     c_p1 = jnp.where(best_i == D - 1, c_m1, c_p1)
     p, n = c_m1, c_p1

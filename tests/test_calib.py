@@ -53,7 +53,14 @@ def test_rodrigues_roundtrip(rng):
         R_cv, _ = cv2.Rodrigues(rvec)
         np.testing.assert_allclose(R, R_cv, atol=1e-12)
         back = matrix_to_rodrigues(R)
-        np.testing.assert_allclose(back, rvec.ravel(), atol=1e-9)
+        if np.linalg.norm(rvec) < np.pi:
+            np.testing.assert_allclose(back, rvec.ravel(), atol=1e-9)
+        else:
+            # |rvec| > pi maps back to the canonical representation; compare
+            # the rotations, not the vectors
+            np.testing.assert_allclose(
+                rodrigues_to_matrix(back), R, atol=1e-9
+            )
 
 
 def test_undistort_points_matches_cv2(calib_dir, rng):

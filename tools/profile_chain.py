@@ -1,0 +1,140 @@
+"""Chained-dependency stage timing: iteration i+1's input is derived from
+iteration i's output, so executions cannot overlap, be elided, or be served
+from any transport-level cache -- the only trustworthy way to time device
+compute through the axon TPU tunnel (block_until_ready alone has been
+observed returning early for repeat dispatches).
+
+Usage: python tools/profile_chain.py [WxH] [D] [iters]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rt_depth_map_tpu.config import MatcherConfig
+from rt_depth_map_tpu.ops import (
+    ellipse_kernel,
+    in_range,
+    morph_open_close,
+    remap_bilinear,
+    rgb_to_gray,
+    rgb_to_hsv,
+)
+from rt_depth_map_tpu.ops.bm import stereo_bm
+from rt_depth_map_tpu.ops.detect import detect_objects
+from rt_depth_map_tpu.ops.sgbm import aggregate_cost, sgbm_cost_volume, stereo_sgbm
+from rt_depth_map_tpu.ops.speckle import filter_speckles
+
+
+def chain_time(name, step, x0, iters):
+    """step: x -> x (same shape/dtype); times iters chained executions."""
+    f = jax.jit(step)
+    t0 = time.perf_counter()
+    x = f(x0)
+    jax.block_until_ready(x)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = f(x)
+    jax.block_until_ready(x)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:<28} compile={compile_s:6.1f}s  run={dt * 1e3:9.2f}ms")
+    return dt
+
+
+def main():
+    size = sys.argv[1] if len(sys.argv) > 1 else "1280x720"
+    W, H = (int(v) for v in size.split("x"))
+    D = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    rng = np.random.default_rng(0)
+    L = jnp.asarray(rng.integers(0, 256, (H, W), dtype=np.uint8))
+    R = jnp.asarray(rng.integers(0, 256, (H, W), dtype=np.uint8))
+    RGB = jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+
+    cfg = MatcherConfig(kind="sgm", num_disparities=D, block_size=5,
+                        num_paths=8, pre_filter_cap=0)
+    nop = cfg.replace(speckle_window_size=0, disp12_max_diff=-1)
+    bcfg = MatcherConfig(kind="bm", num_disparities=D, block_size=13)
+
+    def perturb(img, out):
+        # fold 1 bit of the previous output back into the input
+        h = (jnp.sum(out.astype(jnp.int32)) & 1).astype(jnp.uint8)
+        return img ^ h
+
+    def matcher_step(m):
+        def step(l):
+            d = m(l, R)
+            return perturb(L, d)
+        return step
+
+    chain_time("sgm full", matcher_step(lambda l, r: stereo_sgbm(l, r, cfg)), L, iters)
+    chain_time("sgm nopost", matcher_step(lambda l, r: stereo_sgbm(l, r, nop)), L, iters)
+    chain_time("sgm +lr only",
+               matcher_step(lambda l, r: stereo_sgbm(l, r, nop.replace(disp12_max_diff=1))),
+               L, iters)
+    chain_time("bm full", matcher_step(lambda l, r: stereo_bm(l, r, bcfg)), L, iters)
+
+    C0 = sgbm_cost_volume(L, R, D, 5, 0, 0)[0]
+
+    def agg_step(c):
+        s = aggregate_cost(c, 600, 2400, 8)
+        return c + (jnp.min(s) & 1)
+
+    chain_time("sgm aggregate x8", agg_step, C0, iters)
+
+    def cost_step(l):
+        c = sgbm_cost_volume(l, R, D, 5, 0, 0)[0]
+        return perturb(L, c)
+
+    chain_time("sgm cost volume", cost_step, L, iters)
+
+    disp0 = stereo_sgbm(L, R, nop)
+
+    def speckle_step(d):
+        out = filter_speckles(d, -16, 100, 32 * 16)
+        return d ^ (jnp.sum(out.astype(jnp.int32)) & 1).astype(jnp.int16)
+
+    chain_time("speckle", speckle_step, disp0, iters)
+
+    mask0 = jnp.asarray((rng.random((H, W)) < 0.01).astype(np.uint8) * 255)
+
+    def detect_step(m):
+        b = detect_objects(m, 500, 8)
+        return m ^ (jnp.sum(b) & 1).astype(jnp.uint8)
+
+    chain_time("detect", detect_step, mask0, iters)
+
+    k = ellipse_kernel(10, 10)
+
+    def morph_step(x):
+        out = morph_open_close(
+            in_range(rgb_to_hsv(x), jnp.asarray([0, 150, 0], jnp.uint8),
+                     jnp.asarray([9, 255, 255], jnp.uint8)), k)
+        return x ^ (jnp.sum(out.astype(jnp.int32)) & 1).astype(jnp.uint8)
+
+    chain_time("hsv+inrange+morph", morph_step, RGB, iters)
+
+    grid = jnp.asarray(
+        np.stack(np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32)), axis=-1)
+    )
+
+    def remap_step(x):
+        out = remap_bilinear(x, grid)
+        return x ^ (jnp.sum(out.astype(jnp.int32)) & 1).astype(jnp.uint8)
+
+    chain_time("remap gray", remap_step, L, iters)
+
+    def gray_step(x):
+        g = rgb_to_gray(x)
+        return x ^ (jnp.sum(g.astype(jnp.int32)) & 1).astype(jnp.uint8)
+
+    chain_time("gray", gray_step, RGB, iters)
+
+
+if __name__ == "__main__":
+    main()
