@@ -120,12 +120,27 @@ def inject_default_huffman_tables(jpeg: bytes) -> bytes:
 
 
 class MJPEGDecoder:
-    """Host MJPEG decoder (MJPEGDecoderDevice parity)."""
+    """Host MJPEG decoder (MJPEGDecoderDevice parity).
+
+    backend: "auto" (native C++ libjpeg if buildable, else cv2/PIL),
+    "native", "cv2", or "pil". The native path (native/rtdm_jpeg.cpp)
+    installs the default Huffman tables inside libjpeg and decodes batches
+    on a thread pool."""
 
     def __init__(self, backend: str = "auto"):
         self.backend = backend
         self._cv2 = None
-        if backend in ("auto", "cv2"):
+        self._native = None
+        if backend in ("auto", "native"):
+            from rt_depth_map_tpu.decode import native
+
+            if native.available():
+                self._native = native
+            elif backend == "native":
+                raise RuntimeError(
+                    f"native decoder unavailable: {native.build_error()}"
+                )
+        if self._native is None and backend in ("auto", "cv2"):
             try:
                 import cv2
 
@@ -134,10 +149,20 @@ class MJPEGDecoder:
                 if backend == "cv2":
                     raise
 
+    def decode_batch(self, frames, width: int, height: int):
+        """Decode N frames; native path uses the C++ thread pool."""
+        if self._native is not None:
+            return self._native.decode_batch(
+                [bytes(f) for f in frames], width, height
+            )
+        return [self.decode(f, width, height) for f in frames]
+
     def decode(self, data: bytes, width: int, height: int) -> Optional[np.ndarray]:
         """bytes -> (H, W, 3) uint8 RGB, or None on corrupt input."""
         if not data:
             return None
+        if self._native is not None:
+            return self._native.decode(bytes(data), width, height)
         try:
             buf = inject_default_huffman_tables(bytes(data))
             if self._cv2 is not None:
