@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print per-object depth labels per frame")
     p.add_argument("--mjpeg", action="store_true",
                    help="JPEG-encode synthetic frames to exercise the decoder")
+    p.add_argument("--post-filter", action="store_true",
+                   help="WLS disparity refinement (ENABLE_POST_FILTER)")
+    p.add_argument("--show-disparity-value", action="store_true",
+                   help="append mean disparity to labels (SHOW_DISPARITY_VALUE)")
     return p
 
 
@@ -87,6 +91,8 @@ def config_from_args(args) -> EngineConfig:
         source=args.source,
         source_path=args.source_path,
         seed=args.seed,
+        enable_post_filter=args.post_filter,
+        show_disparity_value=args.show_disparity_value,
         matcher=MatcherConfig(
             kind=args.matcher, num_paths=args.paths, backend=args.backend
         ),

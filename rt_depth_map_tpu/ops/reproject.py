@@ -63,15 +63,19 @@ def calc_depth(
     mask: jnp.ndarray,
     boxes: jnp.ndarray,
     calibration_unit: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    extra: jnp.ndarray = None,
+) -> Tuple[jnp.ndarray, ...]:
     """Masked mean Z per bounding box (estimator.cpp:206-263 `calc_depth`).
 
     xyz: (H, W, 3) float32; mask: (H, W) uint8/bool object mask (filter_out);
     boxes: (K, 5) int32 [x, y, w, h, valid].
 
-    Returns (depth_cm, mean_z, count) each (K,): depth_cm is the label value
-    `mean_z * calibrationUnit / 10.0` (estimator.cpp:252), NaN where a box is
-    invalid or has no valid pixel (reference prints no label when cnt == 0).
+    Returns (depth_cm, mean_z, count[, mean_extra]) each (K,): depth_cm is
+    the label value `mean_z * calibrationUnit / 10.0` (estimator.cpp:252),
+    NaN where a box is invalid or has no valid pixel (reference prints no
+    label when cnt == 0). `extra` (H, W): an additional plane averaged over
+    the SAME accepted pixels -- the SHOW_DISPARITY_VALUE disp_mean
+    accumulator of estimator.cpp:206-263 shares the depth loop's condition.
     """
     H, W = mask.shape
     Z = xyz[..., 2]
@@ -90,8 +94,16 @@ def calc_depth(
         cnt = jnp.sum(m.astype(jnp.int32))
         s = jnp.sum(jnp.where(m, Z, 0.0), dtype=jnp.float32)
         mean = jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), jnp.nan)
-        return mean, cnt
+        if extra is None:
+            return mean, cnt
+        es = jnp.sum(jnp.where(m, extra.astype(jnp.float32), 0.0),
+                     dtype=jnp.float32)
+        emean = jnp.where(cnt > 0, es / jnp.maximum(cnt, 1), jnp.nan)
+        return mean, cnt, emean
 
-    mean_z, count = jax.vmap(per_box)(boxes)
+    res = jax.vmap(per_box)(boxes)
+    mean_z, count = res[0], res[1]
     depth_cm = mean_z * (calibration_unit / 10.0)
-    return depth_cm, mean_z, count
+    if extra is None:
+        return depth_cm, mean_z, count
+    return depth_cm, mean_z, count, res[2]

@@ -211,6 +211,18 @@ _DIRS_PASS1 = [(0, 1), (1, 1), (1, 0), (1, -1)]
 _DIRS_PASS2 = [(0, -1), (-1, -1), (-1, 0), (-1, 1)]
 
 
+def _use_pallas(cfg: MatcherConfig, H: int, width1: int, D: int) -> bool:
+    """Fused Pallas path: explicit backend=pallas, or auto + shapes that tile
+    the TPU vector layout. On CPU the kernels run in interpreter mode (only
+    selected when explicitly requested -- too slow for auto)."""
+    shapes_ok = D % 128 == 0 and width1 % 128 == 0 and H % 8 == 0 and H >= 16
+    if not shapes_ok:
+        return False
+    if cfg.backend == "pallas":
+        return True
+    return cfg.backend == "auto" and jax.default_backend() != "cpu"
+
+
 def aggregate_cost(C: jnp.ndarray, p1: int, p2: int, num_paths: int) -> jnp.ndarray:
     """Sum of directional aggregations. num_paths: 4 (MODE_SGBM single-pass
     directions) or 8 (MODE_HH)."""
@@ -329,34 +341,58 @@ def stereo_sgbm(
     C, minX1, width1 = sgbm_cost_volume(
         left, right, D, cfg.block_size, minD, cfg.pre_filter_cap
     )
-    S = aggregate_cost(C, p1, p2, 8 if cfg.num_paths >= 8 else 4)
 
-    # WTA: ties -> smallest d. minS/neighbor costs are masked reductions over
-    # the D (lane) axis -- per-pixel gathers are far slower on TPU.
-    best = jnp.argmin(S, axis=2).astype(jnp.int32)  # (H, W1)
-    minS = jnp.min(S, axis=2)
+    if _use_pallas(cfg, H, width1, D):
+        # Fused path (ops/pallas/): the last directional sweep computes WTA
+        # inline so the summed volume S is never materialized to HBM.
+        from rt_depth_map_tpu.ops.pallas.sgm_scan import sgm_aggregate_vertical
+        from rt_depth_map_tpu.ops.pallas.sgm_wta import sgm_final_pass_wta
 
-    # uniqueness (SGBM form): reject if any d outside best+/-1 has
-    # S[d]*(100-ratio) < minS*100
-    di = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
-    outside = jnp.abs(di - best[..., None]) > 1
-    bad_uniq = jnp.any(
-        outside & (S * (100 - cfg.uniqueness_ratio) < minS[..., None] * 100),
-        axis=2,
-    )
+        interp = jax.default_backend() == "cpu"
+        Sp = _aggregate_dir(C, p1, p2, 0, 1)
+        if cfg.num_paths >= 8:
+            Sp = Sp + _aggregate_dir(C, p1, p2, 0, -1)
+            Sp = Sp + sgm_aggregate_vertical(C, p1, p2, False, interpret=interp)
+            best, minS, dval, uniq = sgm_final_pass_wta(
+                C, Sp, p1, p2, cfg.uniqueness_ratio, reverse=True,
+                interpret=interp,
+            )
+        else:
+            best, minS, dval, uniq = sgm_final_pass_wta(
+                C, Sp, p1, p2, cfg.uniqueness_ratio, reverse=False,
+                interpret=interp,
+            )
+        bad_uniq = uniq > 0
+        dval = dval + minD * DISP_SCALE
+    else:
+        S = aggregate_cost(C, p1, p2, 8 if cfg.num_paths >= 8 else 4)
 
-    # parabolic subpixel (only with both neighbors in range)
-    has_nb = (best > 0) & (best < D - 1)
-    BIGS = jnp.int32(2**30)
-    sm = jnp.min(jnp.where(di == best[..., None] - 1, S, BIGS), axis=2)
-    sp = jnp.min(jnp.where(di == best[..., None] + 1, S, BIGS), axis=2)
-    sm = jnp.where(best > 0, sm, minS)
-    sp = jnp.where(best < D - 1, sp, minS)
-    denom2 = jnp.maximum(sm + sp - 2 * minS, 1)
-    num = (sm - sp) * DISP_SCALE + denom2
-    sub = jnp.sign(num) * (jnp.abs(num) // (denom2 * 2))
-    dval = jnp.where(has_nb, best * DISP_SCALE + sub, best * DISP_SCALE)
-    dval = dval + minD * DISP_SCALE
+        # WTA: ties -> smallest d. minS/neighbor costs are masked reductions
+        # over the D (lane) axis -- per-pixel gathers are far slower on TPU.
+        best = jnp.argmin(S, axis=2).astype(jnp.int32)  # (H, W1)
+        minS = jnp.min(S, axis=2)
+
+        # uniqueness (SGBM form): reject if any d outside best+/-1 has
+        # S[d]*(100-ratio) < minS*100
+        di = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+        outside = jnp.abs(di - best[..., None]) > 1
+        bad_uniq = jnp.any(
+            outside & (S * (100 - cfg.uniqueness_ratio) < minS[..., None] * 100),
+            axis=2,
+        )
+
+        # parabolic subpixel (only with both neighbors in range)
+        has_nb = (best > 0) & (best < D - 1)
+        BIGS = jnp.int32(2**30)
+        sm = jnp.min(jnp.where(di == best[..., None] - 1, S, BIGS), axis=2)
+        sp = jnp.min(jnp.where(di == best[..., None] + 1, S, BIGS), axis=2)
+        sm = jnp.where(best > 0, sm, minS)
+        sp = jnp.where(best < D - 1, sp, minS)
+        denom2 = jnp.maximum(sm + sp - 2 * minS, 1)
+        num = (sm - sp) * DISP_SCALE + denom2
+        sub = jnp.sign(num) * (jnp.abs(num) // (denom2 * 2))
+        dval = jnp.where(has_nb, best * DISP_SCALE + sub, best * DISP_SCALE)
+        dval = dval + minD * DISP_SCALE
 
     disp1 = jnp.where(bad_uniq, INVALID, dval).astype(jnp.int16)
     disp = jnp.full((H, W), INVALID, dtype=jnp.int16)

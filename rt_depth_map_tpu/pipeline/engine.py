@@ -64,6 +64,10 @@ class FrameResult:
     count: np.ndarray  # (K,) int32 valid pixels per box
     mask: np.ndarray  # (Hr, Wr) uint8 filtered object mask
     rgb_rect: np.ndarray  # (Hr, Wr, 3) uint8 rectified left view
+    #: WLS-refined disparity (ENABLE_POST_FILTER), None unless enabled
+    filtered_disparity: Optional[np.ndarray] = None
+    #: (K,) mean disparity per box (SHOW_DISPARITY_VALUE), None unless enabled
+    disparity_mean: Optional[np.ndarray] = None
 
     @property
     def has_objects(self) -> bool:
@@ -71,11 +75,17 @@ class FrameResult:
 
     def labels(self):
         """(x, y, 'NNN cm') depth labels (set_label parity,
-        estimator.cpp:250-259)."""
+        estimator.cpp:250-259); appends ' disparity = N' when
+        SHOW_DISPARITY_VALUE output is present."""
         out = []
-        for box, cm in zip(self.boxes, self.depth_cm):
+        for i, (box, cm) in enumerate(zip(self.boxes, self.depth_cm)):
             if box[4] and np.isfinite(cm):
-                out.append((int(box[0]), int(box[1]), f"{cm:.0f} cm"))
+                txt = f"{cm:.0f} cm"
+                if self.disparity_mean is not None and np.isfinite(
+                    self.disparity_mean[i]
+                ):
+                    txt += f" disparity = {self.disparity_mean[i]:.1f}"
+                out.append((int(box[0]), int(box[1]), txt))
         return out
 
 
@@ -179,13 +189,37 @@ class Engine:
             else:
                 disp = stereo_bm(lrect, rrect, mcfg, roi1=mroi, roi2=None)
 
+            filtered = None
+            if cfg.enable_post_filter:
+                # ENABLE_POST_FILTER (estimator.cpp:59-71): right-view
+                # matcher + confidence-weighted WLS refinement
+                from rt_depth_map_tpu.ops.wls import (
+                    right_matcher_config,
+                    wls_filter,
+                )
+
+                rcfg = right_matcher_config(mcfg)
+                if mcfg.kind == "sgm":
+                    disp_r = stereo_sgbm(rrect, lrect, rcfg)
+                else:
+                    disp_r = stereo_bm(rrect, lrect, rcfg)
+                filtered, _ = wls_filter(disp, disp_r, lrect, mcfg)
+
             # depth (estimator.cpp:75-77)
             dint = disparity_fixed_to_float(disp)
             xyz = reproject_to_3d(dint, Q, mcfg.min_disparity, True)
-            depth_cm, mean_z, count = calc_depth(
-                xyz, filt, boxes, cfg.calibration_unit_mm
-            )
-            return dict(
+            disp_mean = None
+            if cfg.show_disparity_value:
+                # SHOW_DISPARITY_VALUE (estimator.h:33): mean disparity per
+                # box over the same accepted pixels as the depth mean
+                depth_cm, mean_z, count, disp_mean = calc_depth(
+                    xyz, filt, boxes, cfg.calibration_unit_mm, extra=dint
+                )
+            else:
+                depth_cm, mean_z, count = calc_depth(
+                    xyz, filt, boxes, cfg.calibration_unit_mm
+                )
+            out = dict(
                 disparity=disp,
                 boxes=boxes,
                 depth_cm=depth_cm,
@@ -194,6 +228,11 @@ class Engine:
                 mask=filt,
                 rgb_rect=rgbr,
             )
+            if filtered is not None:
+                out["filtered_disparity"] = filtered
+            if disp_mean is not None:
+                out["disparity_mean"] = disp_mean
+            return out
 
         return frame_fn
 

@@ -1,8 +1,12 @@
-"""Chained-dependency stage timing: iteration i+1's input is derived from
-iteration i's output, so executions cannot overlap, be elided, or be served
-from any transport-level cache -- the only trustworthy way to time device
-compute through the axon TPU tunnel (block_until_ready alone has been
-observed returning early for repeat dispatches).
+"""Per-stage device timing through the axon TPU tunnel.
+
+Methodology (the only one that survives the tunnel's quirks):
+  * iteration i+1's input depends on iteration i's output (chained), so
+    executions serialize on device and cannot be elided or cached;
+  * block_until_ready can return optimistically through the tunnel, so the
+    measurement ends with a dependent-scalar device->host pull (np.asarray),
+    which cannot complete before every chained execution has; the ~25ms
+    tunnel round-trip is amortized over N iterations.
 
 Usage: python tools/profile_chain.py [WxH] [D] [iters]
 """
@@ -29,19 +33,22 @@ from rt_depth_map_tpu.ops.sgbm import aggregate_cost, sgbm_cost_volume, stereo_s
 from rt_depth_map_tpu.ops.speckle import filter_speckles
 
 
-def chain_time(name, step, x0, iters):
-    """step: x -> x (same shape/dtype); times iters chained executions."""
+def chain_time(name, step, x0, iters=20):
+    """step: x -> x (same structure); chained executions + one final pull."""
     f = jax.jit(step)
+    fin = jax.jit(lambda x: jax.tree_util.tree_reduce(
+        lambda a, b: a + b, jax.tree_util.tree_map(lambda v: v.sum().astype(jnp.float32), x)))
     t0 = time.perf_counter()
     x = f(x0)
-    jax.block_until_ready(x)
+    _ = np.asarray(fin(x))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         x = f(x)
-    jax.block_until_ready(x)
+    _ = np.asarray(fin(x))  # real completion barrier
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:<28} compile={compile_s:6.1f}s  run={dt * 1e3:9.2f}ms")
+    print(f"{name:<28} compile={compile_s:6.1f}s  run={dt * 1e3:9.2f}ms",
+          flush=True)
     return dt
 
 
@@ -49,34 +56,39 @@ def main():
     size = sys.argv[1] if len(sys.argv) > 1 else "1280x720"
     W, H = (int(v) for v in size.split("x"))
     D = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     rng = np.random.default_rng(0)
     L = jnp.asarray(rng.integers(0, 256, (H, W), dtype=np.uint8))
     R = jnp.asarray(rng.integers(0, 256, (H, W), dtype=np.uint8))
     RGB = jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
 
     cfg = MatcherConfig(kind="sgm", num_disparities=D, block_size=5,
-                        num_paths=8, pre_filter_cap=0)
+                        num_paths=8, pre_filter_cap=0, backend="xla")
     nop = cfg.replace(speckle_window_size=0, disp12_max_diff=-1)
-    bcfg = MatcherConfig(kind="bm", num_disparities=D, block_size=13)
+    bcfg = MatcherConfig(kind="bm", num_disparities=D, block_size=13,
+                         backend="xla")
 
     def perturb(img, out):
-        # fold 1 bit of the previous output back into the input
         h = (jnp.sum(out.astype(jnp.int32)) & 1).astype(jnp.uint8)
         return img ^ h
 
     def matcher_step(m):
         def step(l):
-            d = m(l, R)
-            return perturb(L, d)
+            return perturb(L, m(l, R))
         return step
 
-    chain_time("sgm full", matcher_step(lambda l, r: stereo_sgbm(l, r, cfg)), L, iters)
-    chain_time("sgm nopost", matcher_step(lambda l, r: stereo_sgbm(l, r, nop)), L, iters)
-    chain_time("sgm +lr only",
-               matcher_step(lambda l, r: stereo_sgbm(l, r, nop.replace(disp12_max_diff=1))),
-               L, iters)
-    chain_time("bm full", matcher_step(lambda l, r: stereo_bm(l, r, bcfg)), L, iters)
+    for name, c in [
+        ("sgm8 xla full", cfg),
+        ("sgm8 xla nopost", nop),
+        ("sgm8 pallas full", cfg.replace(backend="pallas")),
+        ("sgm8 pallas nopost", nop.replace(backend="pallas")),
+        ("sgm4 pallas full", cfg.replace(backend="pallas", num_paths=4)),
+        ("bm full", bcfg),
+        ("bm nopost", bcfg.replace(speckle_window_size=0, disp12_max_diff=-1)),
+    ]:
+        fn = stereo_bm if c.kind == "bm" else stereo_sgbm
+        chain_time(name, matcher_step(lambda l, r, c=c, fn=fn: fn(l, r, c)), L,
+                   iters)
 
     C0 = sgbm_cost_volume(L, R, D, 5, 0, 0)[0]
 
@@ -84,7 +96,18 @@ def main():
         s = aggregate_cost(c, 600, 2400, 8)
         return c + (jnp.min(s) & 1)
 
-    chain_time("sgm aggregate x8", agg_step, C0, iters)
+    chain_time("sgm aggregate x8 (scan)", agg_step, C0, iters)
+
+    try:
+        from rt_depth_map_tpu.ops.pallas.sgm_scan import sgm_aggregate_vertical
+
+        def pal_step(c):
+            s = sgm_aggregate_vertical(c, 600, 2400, False)
+            return c + (jnp.min(s) & 1)
+
+        chain_time("pallas 3-dir pass", pal_step, C0, iters)
+    except Exception as e:  # pragma: no cover
+        print("pallas pass skipped:", e)
 
     def cost_step(l):
         c = sgbm_cost_volume(l, R, D, 5, 0, 0)[0]
@@ -128,12 +151,6 @@ def main():
         return x ^ (jnp.sum(out.astype(jnp.int32)) & 1).astype(jnp.uint8)
 
     chain_time("remap gray", remap_step, L, iters)
-
-    def gray_step(x):
-        g = rgb_to_gray(x)
-        return x ^ (jnp.sum(g.astype(jnp.int32)) & 1).astype(jnp.uint8)
-
-    chain_time("gray", gray_step, RGB, iters)
 
 
 if __name__ == "__main__":
