@@ -5,9 +5,11 @@ and aggregates THREE directions at once -- straight (dy, 0) and the two
 diagonals (dy, +/-1) -- exactly the per-pass direction set of OpenCV's SGBM
 (golden/sgbm.py `_DIRS_PASS1/2` minus the horizontal member). The carry
 L_r(y-1, :, :) for each direction lives in VMEM; C rows stream from HBM with
-double-buffered async DMA and the 3-direction sum streams back out. This
-replaces three `lax.scan`s whose per-step dispatch overhead (~18us) is ~6x
-the DMA time of a whole (W1, D) row.
+double-buffered async DMA and the 3-direction sum streams back out,
+optionally accumulated onto a partial sum S_partial streamed alongside (so
+the two passes of the 8-path mode chain without an extra XLA add over the
+472MB volume). This replaces three `lax.scan`s whose per-step dispatch
+overhead (~18us) is ~6x the DMA time of a whole (W1, D) row.
 
 Semantics are bit-identical to ops/sgbm.py `_aggregate_dir` (int32; zero
 borders; P2 >= P1+1 enforced by the caller): the diagonal carries shift by
@@ -55,14 +57,26 @@ def _shift_rows(L, dx):
     return jnp.concatenate([L[-dx:], jnp.zeros((-dx, D), jnp.int32)], axis=0)
 
 
-def _kernel(C_hbm, S_hbm, carry0, carry1, carry2, rowbuf, outbuf, in_sems,
-            out_sems, *, H, W1, D, p1, p2, reverse):
+def _kernel(C_hbm, *rest, H, W1, D, p1, p2, reverse, with_partial):
+    if with_partial:
+        (Sp_hbm, S_hbm, carry0, carry1, carry2, rowbuf, spbuf, outbuf,
+         in_sems, sp_sems, out_sems) = rest
+    else:
+        (S_hbm, carry0, carry1, carry2, rowbuf, outbuf,
+         in_sems, out_sems) = rest
+        Sp_hbm = spbuf = sp_sems = None
+
     def row_index(i):
         return (H - 1 - i) if reverse else i
 
     def in_dma(slot, i):
         return pltpu.make_async_copy(
             C_hbm.at[row_index(i)], rowbuf.at[slot], in_sems.at[slot]
+        )
+
+    def sp_dma(slot, i):
+        return pltpu.make_async_copy(
+            Sp_hbm.at[row_index(i)], spbuf.at[slot], sp_sems.at[slot]
         )
 
     def out_dma(slot, i):
@@ -74,6 +88,8 @@ def _kernel(C_hbm, S_hbm, carry0, carry1, carry2, rowbuf, outbuf, in_sems,
     carry1[...] = jnp.zeros((W1, D), jnp.int32)
     carry2[...] = jnp.zeros((W1, D), jnp.int32)
     in_dma(0, 0).start()
+    if with_partial:
+        sp_dma(0, 0).start()
 
     def body(i, _):
         slot = i % 2
@@ -81,8 +97,12 @@ def _kernel(C_hbm, S_hbm, carry0, carry1, carry2, rowbuf, outbuf, in_sems,
         @pl.when(i + 1 < H)
         def _():
             in_dma(1 - slot, i + 1).start()
+            if with_partial:
+                sp_dma(1 - slot, i + 1).start()
 
         in_dma(slot, i).wait()
+        if with_partial:
+            sp_dma(slot, i).wait()
         C_row = rowbuf[slot]
 
         # the out DMA from two rows ago must have drained before reusing
@@ -96,7 +116,10 @@ def _kernel(C_hbm, S_hbm, carry0, carry1, carry2, rowbuf, outbuf, in_sems,
         carry0[...] = L0
         carry1[...] = L1
         carry2[...] = L2
-        outbuf[slot] = L0 + L1 + L2
+        acc = L0 + L1 + L2
+        if with_partial:
+            acc = acc + spbuf[slot]
+        outbuf[slot] = acc
         out_dma(slot, i).start()
         return 0
 
@@ -106,10 +129,16 @@ def _kernel(C_hbm, S_hbm, carry0, carry1, carry2, rowbuf, outbuf, in_sems,
 
 
 def sgm_aggregate_vertical(
-    C: jnp.ndarray, p1: int, p2: int, reverse: bool, interpret: bool = False
+    C: jnp.ndarray,
+    p1: int,
+    p2: int,
+    reverse: bool,
+    partial: jnp.ndarray = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Sum of the three (dy, {0,+1,-1}) directional aggregations for
-    dy = +1 (reverse=False, top-down) or dy = -1 (reverse=True, bottom-up).
+    dy = +1 (reverse=False, top-down) or dy = -1 (reverse=True, bottom-up),
+    plus `partial` (an (H, W1, D) partial direction sum) when given.
 
     C: (H, W1, D) int32 windowed cost, D a multiple of 128 and W1 a multiple
     of 8 (callers pad; SGBM's W1 = W - D satisfies this at every supported
@@ -119,23 +148,31 @@ def sgm_aggregate_vertical(
         raise ValueError(f"(W1, D) = ({W1}, {D}) must tile (8, 128)")
     if H < 2:
         raise ValueError("H must be >= 2")
+    with_partial = partial is not None
     kernel = functools.partial(
-        _kernel, H=H, W1=W1, D=D, p1=p1, p2=max(p2, p1 + 1), reverse=reverse
+        _kernel, H=H, W1=W1, D=D, p1=p1, p2=max(p2, p1 + 1), reverse=reverse,
+        with_partial=with_partial,
     )
+    scratch = [
+        pltpu.VMEM((W1, D), jnp.int32),  # carry straight
+        pltpu.VMEM((W1, D), jnp.int32),  # carry diag +1
+        pltpu.VMEM((W1, D), jnp.int32),  # carry diag -1
+        pltpu.VMEM((2, W1, D), jnp.int32),  # C row double buffer
+    ]
+    if with_partial:
+        scratch.append(pltpu.VMEM((2, W1, D), jnp.int32))  # partial rows
+    scratch.append(pltpu.VMEM((2, W1, D), jnp.int32))  # out double buffer
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if with_partial:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    args = (C, partial) if with_partial else (C,)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((H, W1, D), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(args),
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((W1, D), jnp.int32),  # carry straight
-            pltpu.VMEM((W1, D), jnp.int32),  # carry diag +1
-            pltpu.VMEM((W1, D), jnp.int32),  # carry diag -1
-            pltpu.VMEM((2, W1, D), jnp.int32),  # C row double buffer
-            pltpu.VMEM((2, W1, D), jnp.int32),  # out row double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(C)
+    )(*args)

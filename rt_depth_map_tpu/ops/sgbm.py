@@ -215,7 +215,7 @@ def _use_pallas(cfg: MatcherConfig, H: int, width1: int, D: int) -> bool:
     """Fused Pallas path: explicit backend=pallas, or auto + shapes that tile
     the TPU vector layout. On CPU the kernels run in interpreter mode (only
     selected when explicitly requested -- too slow for auto)."""
-    shapes_ok = D % 128 == 0 and width1 % 128 == 0 and H % 8 == 0 and H >= 16
+    shapes_ok = D % 128 == 0 and width1 % 8 == 0 and H >= 2
     if not shapes_ok:
         return False
     if cfg.backend == "pallas":
@@ -343,56 +343,53 @@ def stereo_sgbm(
     )
 
     if _use_pallas(cfg, H, width1, D):
-        # Fused path (ops/pallas/): the last directional sweep computes WTA
-        # inline so the summed volume S is never materialized to HBM.
+        # Pallas aggregation (ops/pallas/sgm_scan.py): each vertical pass
+        # handles 3 directions in one kernel, chaining the partial sum
+        # through the second pass so no extra full-volume add runs in XLA.
+        # The horizontal directions stay lax.scans (their carry is a column,
+        # already well-batched).
         from rt_depth_map_tpu.ops.pallas.sgm_scan import sgm_aggregate_vertical
-        from rt_depth_map_tpu.ops.pallas.sgm_wta import sgm_final_pass_wta
 
         interp = jax.default_backend() == "cpu"
-        Sp = _aggregate_dir(C, p1, p2, 0, 1)
+        Sh = _aggregate_dir(C, p1, p2, 0, 1)
         if cfg.num_paths >= 8:
-            Sp = Sp + _aggregate_dir(C, p1, p2, 0, -1)
-            Sp = Sp + sgm_aggregate_vertical(C, p1, p2, False, interpret=interp)
-            best, minS, dval, uniq = sgm_final_pass_wta(
-                C, Sp, p1, p2, cfg.uniqueness_ratio, reverse=True,
-                interpret=interp,
-            )
+            Sh = Sh + _aggregate_dir(C, p1, p2, 0, -1)
+            Sa = sgm_aggregate_vertical(C, p1, p2, False, partial=Sh,
+                                        interpret=interp)
+            S = sgm_aggregate_vertical(C, p1, p2, True, partial=Sa,
+                                       interpret=interp)
         else:
-            best, minS, dval, uniq = sgm_final_pass_wta(
-                C, Sp, p1, p2, cfg.uniqueness_ratio, reverse=False,
-                interpret=interp,
-            )
-        bad_uniq = uniq > 0
-        dval = dval + minD * DISP_SCALE
+            S = sgm_aggregate_vertical(C, p1, p2, False, partial=Sh,
+                                       interpret=interp)
     else:
         S = aggregate_cost(C, p1, p2, 8 if cfg.num_paths >= 8 else 4)
 
-        # WTA: ties -> smallest d. minS/neighbor costs are masked reductions
-        # over the D (lane) axis -- per-pixel gathers are far slower on TPU.
-        best = jnp.argmin(S, axis=2).astype(jnp.int32)  # (H, W1)
-        minS = jnp.min(S, axis=2)
+    # WTA: ties -> smallest d. minS/neighbor costs are masked reductions
+    # over the D (lane) axis -- per-pixel gathers are far slower on TPU.
+    best = jnp.argmin(S, axis=2).astype(jnp.int32)  # (H, W1)
+    minS = jnp.min(S, axis=2)
 
-        # uniqueness (SGBM form): reject if any d outside best+/-1 has
-        # S[d]*(100-ratio) < minS*100
-        di = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
-        outside = jnp.abs(di - best[..., None]) > 1
-        bad_uniq = jnp.any(
-            outside & (S * (100 - cfg.uniqueness_ratio) < minS[..., None] * 100),
-            axis=2,
-        )
+    # uniqueness (SGBM form): reject if any d outside best+/-1 has
+    # S[d]*(100-ratio) < minS*100
+    di = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+    outside = jnp.abs(di - best[..., None]) > 1
+    bad_uniq = jnp.any(
+        outside & (S * (100 - cfg.uniqueness_ratio) < minS[..., None] * 100),
+        axis=2,
+    )
 
-        # parabolic subpixel (only with both neighbors in range)
-        has_nb = (best > 0) & (best < D - 1)
-        BIGS = jnp.int32(2**30)
-        sm = jnp.min(jnp.where(di == best[..., None] - 1, S, BIGS), axis=2)
-        sp = jnp.min(jnp.where(di == best[..., None] + 1, S, BIGS), axis=2)
-        sm = jnp.where(best > 0, sm, minS)
-        sp = jnp.where(best < D - 1, sp, minS)
-        denom2 = jnp.maximum(sm + sp - 2 * minS, 1)
-        num = (sm - sp) * DISP_SCALE + denom2
-        sub = jnp.sign(num) * (jnp.abs(num) // (denom2 * 2))
-        dval = jnp.where(has_nb, best * DISP_SCALE + sub, best * DISP_SCALE)
-        dval = dval + minD * DISP_SCALE
+    # parabolic subpixel (only with both neighbors in range)
+    has_nb = (best > 0) & (best < D - 1)
+    BIGS = jnp.int32(2**30)
+    sm = jnp.min(jnp.where(di == best[..., None] - 1, S, BIGS), axis=2)
+    sp = jnp.min(jnp.where(di == best[..., None] + 1, S, BIGS), axis=2)
+    sm = jnp.where(best > 0, sm, minS)
+    sp = jnp.where(best < D - 1, sp, minS)
+    denom2 = jnp.maximum(sm + sp - 2 * minS, 1)
+    num = (sm - sp) * DISP_SCALE + denom2
+    sub = jnp.sign(num) * (jnp.abs(num) // (denom2 * 2))
+    dval = jnp.where(has_nb, best * DISP_SCALE + sub, best * DISP_SCALE)
+    dval = dval + minD * DISP_SCALE
 
     disp1 = jnp.where(bad_uniq, INVALID, dval).astype(jnp.int16)
     disp = jnp.full((H, W), INVALID, dtype=jnp.int16)
