@@ -144,3 +144,32 @@ class EngineConfig:
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)
+
+    # ---- persistence: config is the framework's durable state, alongside
+    # calibration (SURVEY.md section 5.4) ----
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        return d
+
+    def save(self, path: str) -> None:
+        import yaml
+
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineConfig":
+        d = dict(d)
+        m = d.pop("matcher", None)
+        cfg = cls(**d)
+        if m is not None:
+            cfg = cfg.replace(matcher=MatcherConfig(**m))
+        return cfg
+
+    @classmethod
+    def load(cls, path: str) -> "EngineConfig":
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f))

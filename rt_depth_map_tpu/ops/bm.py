@@ -178,11 +178,13 @@ def stereo_bm(
         rymax = jnp.minimum(r1y + r1h, r2y + r2h) - w2
         valid = valid & (xs >= rxmin) & (xs < rxmax) & (ys >= rymin) & (ys < rymax)
 
-    # WTA, ties -> largest disparity. best/neighbor costs come from masked
-    # reductions over D, not per-pixel gathers (slow on TPU).
-    rev = cost[::-1]
-    best_i = (D - 1 - jnp.argmin(rev, axis=0)).astype(jnp.int32)
-    best_cost = jnp.min(cost, axis=0)
+    # WTA, ties -> largest disparity. One packed-key (cost, D-1-d) reduction
+    # over the D axis yields min cost and the largest-d tie-broken argmin in
+    # a single volume pass; cost < 2^18 so cost*D + d fits int32.
+    di0 = jax.lax.broadcasted_iota(jnp.int32, (D, 1, 1), 0)
+    kmin = jnp.min(cost * D + (D - 1 - di0), axis=0)
+    best_i = D - 1 - (kmin % D)
+    best_cost = kmin // D
 
     # texture check
     texture = _box_filter_2d(

@@ -147,11 +147,20 @@ def connected_components_scan(
             out = out.at[:-1, 1:].min(ne)
         return jnp.where(active, out, labels)
 
-    def body(state):
-        labels, _ = state
-        new = hop(labels)
+    def sweep(labels):
+        new = labels
+        if connectivity == 8:
+            # the row/col scans only follow axis-aligned edges; one shift
+            # hop per sweep carries labels across diagonal links
+            new = hop(new)
         new = jnp.where(active, _seg_min_scan(new, allowed_h, axis=1), new)
         new = jnp.where(active, _seg_min_scan(new, allowed_v, axis=0), new)
+        return new
+
+    def body(state):
+        labels, _ = state
+        # two sweeps per trip halve the while-loop round count
+        new = sweep(sweep(labels))
         return new, jnp.any(new != labels)
 
     labels, _ = jax.lax.while_loop(lambda s: s[1], body, (idx, jnp.bool_(True)))

@@ -364,10 +364,13 @@ def stereo_sgbm(
     else:
         S = aggregate_cost(C, p1, p2, 8 if cfg.num_paths >= 8 else 4)
 
-    # WTA: ties -> smallest d. minS/neighbor costs are masked reductions
-    # over the D (lane) axis -- per-pixel gathers are far slower on TPU.
-    best = jnp.argmin(S, axis=2).astype(jnp.int32)  # (H, W1)
-    minS = jnp.min(S, axis=2)
+    # WTA: ties -> smallest d. One packed-key (S, d) lane reduction yields
+    # both the min cost and its argmin (separate argmin+min cost two full
+    # 472MB volume passes); |S| < 2^19 so S*D + d fits int32.
+    di0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+    kmin = jnp.min(S * D + di0, axis=2)
+    best = kmin % D
+    minS = kmin // D
 
     # uniqueness (SGBM form): reject if any d outside best+/-1 has
     # S[d]*(100-ratio) < minS*100

@@ -91,9 +91,10 @@ def _tile_wta(cost, lp_ext, cfg: MatcherConfig, x0, W_full):
         & (xs >= max(maxD, 0) + w2) & (xs < W_full - w2)
     )
 
-    rev = cost_c[::-1]
-    best_i = (D - 1 - jnp.argmin(rev, axis=0)).astype(jnp.int32)
-    best_cost = jnp.min(cost_c, axis=0)
+    di0 = jax.lax.broadcasted_iota(jnp.int32, (D, 1, 1), 0)
+    kmin = jnp.min(cost_c * D + (D - 1 - di0), axis=0)
+    best_i = D - 1 - (kmin % D)
+    best_cost = kmin // D
 
     texture = _box_filter_2d(
         jnp.abs(lp_ext.astype(jnp.int32) - cfg.pre_filter_cap), bs

@@ -154,7 +154,32 @@ class Engine:
 
         self.stats = ExecTimeStats(cfg.enable_execution_time_measurement)
         self._last: Tuple[Optional[np.ndarray], Optional[np.ndarray]] = (None, None)
-        self._step = jax.jit(self._build_frame_fn())
+        # source health (SURVEY.md section 5.3): transient corrupt frames
+        # reuse the previous image (decoder parity), but a dead stream --
+        # this many consecutive failures -- is a hard fault, fail-fast like
+        # the reference's device-init exit(1) paths
+        self.max_consecutive_decode_failures = 30
+        self._consecutive_failures = 0
+        frame_fn = self._build_frame_fn()
+        self._step = jax.jit(frame_fn)
+        self._step_batch = None
+        if cfg.batch > 1:
+            # Multi-stream batching: B pairs per device dispatch. Unrolled
+            # (not vmapped) so the Pallas matcher kernels -- which have no
+            # batching rule for ANY-memory-space operands -- stay usable;
+            # XLA schedules the B independent subgraphs together.
+            B = cfg.batch
+
+            def batch_fn(lefts, rights, hsv_low, hsv_high, min_size):
+                outs = [
+                    frame_fn(lefts[i], rights[i], hsv_low, hsv_high, min_size)
+                    for i in range(B)
+                ]
+                return jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *outs
+                )
+
+            self._step_batch = jax.jit(batch_fn)
         self._frames_done = 0
 
     # -- device program ----------------------------------------------------
@@ -258,6 +283,23 @@ class Engine:
         out = jax.tree_util.tree_map(np.asarray, out)
         return FrameResult(**out)
 
+    def process_batch(self, lefts: np.ndarray, rights: np.ndarray):
+        """Run the device program on a (B, H, W, 3) batch of decoded pairs
+        (multi-stream batching, BASELINE.md); returns a list of FrameResult."""
+        assert self._step_batch is not None, "EngineConfig.batch must be > 1"
+        out = self._step_batch(
+            jnp.asarray(lefts),
+            jnp.asarray(rights),
+            jnp.asarray(self.hsv_low),
+            jnp.asarray(self.hsv_high),
+            jnp.int32(self.min_object_size),
+        )
+        out = jax.tree_util.tree_map(np.asarray, out)
+        B = lefts.shape[0]
+        return [
+            FrameResult(**{k: v[i] for k, v in out.items()}) for i in range(B)
+        ]
+
     def step(self) -> Optional[FrameResult]:
         """One iteration of the frame loop (estimator.cpp:18-82)."""
         st = self.stats
@@ -267,6 +309,19 @@ class Engine:
         with st.measure("decode"):
             left = self._decode_eye(lf, 0)
             right = self._decode_eye(rf, 1)
+        fresh = (
+            (lf.encoding == "raw" or left is not self._last[0])
+            and (rf.encoding == "raw" or right is not self._last[1])
+        )
+        if not fresh:
+            self._consecutive_failures += 1
+            if self._consecutive_failures >= self.max_consecutive_decode_failures:
+                raise RuntimeError(
+                    f"stream unhealthy: {self._consecutive_failures} "
+                    f"consecutive decode failures"
+                )
+        else:
+            self._consecutive_failures = 0
         if left is None or right is None:
             return None  # nothing decoded yet at all
         self._last = (left, right)
