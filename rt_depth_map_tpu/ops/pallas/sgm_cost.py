@@ -1,0 +1,202 @@
+"""SGBM Birchfield-Tomasi cost volume as a Pallas TPU kernel.
+
+The XLA formulation builds 128 sliced cost planes plus two windowed-sum
+passes over the 472MB volume (~30ms at 720p). This kernel streams 8-row
+stripes of the six precomputed per-image planes (sobel & raw, each with
+their half-pixel min/max envelopes), loops over disparities with dynamic
+lane rolls (no gathers), applies the replicate-border 2-D window sums
+in-registers, and writes the volume ONCE.
+
+Output layout is (H, D, W1) -- per-d planes are row-major writable (the
+d-minor layout would need a per-row transpose). The caller transposes to
+the (H, W1, D) the aggregation path consumes; that single XLA transpose is
+bandwidth-bound (~3ms) vs the ~20ms saved here.
+
+Semantics are bit-identical to ops/sgbm.py sgbm_cost_volume (all int32,
+OpenCV calcPixelCostBT + replicated block sums)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rt_depth_map_tpu.ops.sgbm import _halfpix, sgbm_preprocess
+
+
+def _kernel(planes_hbm, C_hbm, pin, obuf, in_sems, out_sems, *,
+            R, W1, Wp, D, minX1, min_disp, bs, Rh):
+    w2 = bs // 2
+    i = pl.program_id(0)
+
+    in_dma = pltpu.make_async_copy(
+        planes_hbm.at[:, pl.ds(i * R, Rh)], pin, in_sems
+    )
+    in_dma.start()
+    in_dma.wait()
+    # plane order: ls, lu0, lu1, lraw, lru0, lru1, rs, rv0, rv1, rraw, rrv0, rrv1
+    P = pin[...]
+
+    def left(k):
+        # left-image planes sampled at x = j + minX1 (static shift)
+        return P[k][:, minX1 : minX1 + W1]
+
+    ls, lu0, lu1 = left(0), left(1), left(2)
+    lraw, lru0, lru1 = left(3), left(4), left(5)
+
+    def horiz_win(v):
+        """Replicate-border sliding sum of width bs along lanes."""
+        # extend with replicated edge columns, then power-of-two doubling
+        le = jnp.concatenate([v[:, :1]] * w2 + [v] + [v[:, -1:]] * w2, axis=1)
+        sums = {1: le}
+        k = 1
+        while k * 2 <= bs:
+            prev = sums[k]
+            shifted = jnp.concatenate(
+                [prev[:, k:], jnp.zeros((prev.shape[0], k), jnp.int32)], axis=1
+            )
+            sums[k * 2] = prev + shifted
+            k *= 2
+        acc = None
+        off = 0
+        for bit in sorted(sums, reverse=True):
+            if bs & bit:
+                s = sums[bit]
+                part = (
+                    jnp.concatenate(
+                        [s[:, off:], jnp.zeros((s.shape[0], off), jnp.int32)],
+                        axis=1,
+                    )
+                    if off
+                    else s
+                )
+                acc = part if acc is None else acc + part
+                off += bit
+        return acc[:, :W1]
+
+    def bt(u, u0, u1, v, v0, v1):
+        c0 = jnp.maximum(0, jnp.maximum(u - v1, v0 - u))
+        c1 = jnp.maximum(0, jnp.maximum(v - u1, u0 - v))
+        return jnp.minimum(c0, c1)
+
+    def out_dma(slot, db):
+        return pltpu.make_async_copy(
+            obuf.at[slot],
+            C_hbm.at[pl.ds(i * R, R), pl.ds(db * 8, 8), :],
+            out_sems.at[slot],
+        )
+
+    # Disparity loop structure: a fori_loop over 8-disparity blocks (a fully
+    # unrolled 128-step loop takes Mosaic ~4 minutes to compile), with ONE
+    # dynamic lane roll per right-image plane per block; the 8 in-block
+    # disparities are then static slices of the rolled planes, and the
+    # in-block store index k is static (dynamic sublane store indices hang
+    # the compiler).
+    n_blocks = D // 8
+
+    def block(db, _):
+        slot = db % 2
+
+        @pl.when(db >= 2)
+        def _():
+            out_dma(slot, db - 2).wait()
+
+        # rolled[j] = P[j + minX1 - 8*db - 8] for j in [0, W1 + 8)
+        shift = (Wp + 8 * db + 8 - minX1) % Wp
+        rolled = [pltpu.roll(P[kk], shift, axis=1) for kk in range(6, 12)]
+
+        for k in range(8):
+            o = 8 - k  # rolled[o + j] = P[j + minX1 - (8*db + k)]
+
+            def right(idx):
+                return rolled[idx - 6][:, o : o + W1]
+
+            pix = bt(ls, lu0, lu1, right(6), right(7), right(8)) + (
+                bt(lraw, lru0, lru1, right(9), right(10), right(11)) >> 2
+            )  # (Rh, W1)
+            h = horiz_win(pix)
+            acc = h[0:R]
+            for r in range(1, bs):
+                acc = acc + h[r : r + R]
+            obuf[slot, :, k, :] = acc
+        out_dma(slot, db).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, block, 0)
+    if n_blocks >= 2:
+        out_dma((n_blocks - 2) % 2, n_blocks - 2).wait()
+    out_dma((n_blocks - 1) % 2, n_blocks - 1).wait()
+
+
+def sgm_cost_volume_pallas(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    num_disp: int,
+    block_size: int,
+    pre_filter_cap: int = 0,
+    interpret: bool = False,
+):
+    """(C (H, W1, D) int32, minX1, width1) -- bit-identical to
+    ops.sgbm.sgbm_cost_volume for min_disparity == 0. Requires
+    W1 % 128 == 0, H % 8 == 0, D % 8 == 0."""
+    ftzero = max(pre_filter_cap, 15) | 1
+    H, W = left.shape
+    D = num_disp
+    minX1 = D  # min_disp == 0
+    W1 = W - D
+    bs = block_size
+    w2 = bs // 2
+    R = 8
+    if W1 % 128 or H % R or D % 8:
+        raise ValueError(f"(H, W1, D) = ({H}, {W1}, {D}) must tile (8, 128, 8)")
+
+    ls, lraw = sgbm_preprocess(left, ftzero)
+    rs, rraw = sgbm_preprocess(right, ftzero)
+    lu0, lu1 = _halfpix(ls)
+    lru0, lru1 = _halfpix(lraw)
+    rv0, rv1 = _halfpix(rs)
+    rrv0, rrv1 = _halfpix(rraw)
+
+    Wp = ((W + 127) // 128) * 128
+    Rh = R + 2 * w2
+    Rh_pad = ((Rh + 7) // 8) * 8
+
+    def prep(p):
+        # replicate rows at image borders (the vertical window clamps), pad
+        # to the stripe alignment, zero-pad columns to Wp
+        p = jnp.concatenate(
+            [jnp.repeat(p[:1], w2, axis=0), p,
+             jnp.repeat(p[-1:], w2 + (Rh_pad - Rh), axis=0)],
+            axis=0,
+        )
+        return jnp.pad(p, ((0, 0), (0, Wp - W)))
+
+    planes = jnp.stack(
+        [prep(x.astype(jnp.int32)) for x in
+         (ls, lu0, lu1, lraw, lru0, lru1, rs, rv0, rv1, rraw, rrv0, rrv1)]
+    )  # (12, H + pads, Wp)
+
+    kernel = functools.partial(
+        _kernel, R=R, W1=W1, Wp=Wp, D=D, minX1=minX1, min_disp=0, bs=bs,
+        Rh=Rh_pad,
+    )
+    C_hdw = pl.pallas_call(
+        kernel,
+        grid=(H // R,),
+        out_shape=jax.ShapeDtypeStruct((H, D, W1), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((12, Rh_pad, Wp), jnp.int32),
+            pltpu.VMEM((2, R, 8, W1), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(planes)
+    C = jnp.transpose(C_hdw, (0, 2, 1))
+    return C, minX1, W1

@@ -235,7 +235,7 @@ def aggregate_cost(C: jnp.ndarray, p1: int, p2: int, num_paths: int) -> jnp.ndar
 
 def _lr_check_sgbm(
     disp: jnp.ndarray, best: jnp.ndarray, minS: jnp.ndarray,
-    minX1: int, width1: int, min_disp: int, max_diff: int,
+    minX1: int, width1: int, min_disp: int, num_disp: int, max_diff: int,
 ) -> jnp.ndarray:
     """Inline SGBM left-right check (golden lines: disp2 from integer bestDisp
     with minS cost; invalidate when BOTH floor and ceil candidates disagree).
@@ -256,25 +256,37 @@ def _lr_check_sgbm(
     # Packed (cost, best) key: within one bin x2 the left x ascends exactly
     # with the integer disparity (x = x2 + d_int), so lexicographic
     # (minS, best) reproduces the sequential strict-lower-cost, leftmost-
-    # first update order AND carries the winner's disparity in the key (no
-    # winner gather). minS < 8 paths * win^2 * 236 < 2^23; Dpow = 256.
+    # first update order AND carries the winner's disparity in the key.
+    # minS < 8 paths * win^2 * 236 < 2^23; Dpow = 256. The winner per right
+    # pixel and the read-backs are shift-reduces over the D candidate
+    # integer disparities -- no scatter, no gather (ops/bm.py _lr_check).
+    from rt_depth_map_tpu.ops.bm import _shift_cols_i32
+
     Dpow = 256  # best in [0, D), D <= 255 at any supported operating point
-    key = minS * Dpow + best
     BIGKEY = jnp.iinfo(jnp.int32).max
-    key = jnp.where(in_rng, key, BIGKEY)
-    flat_idx = jnp.where(in_rng, ys1 * W + x2, H * W)
-    best_key = (
-        jnp.full(H * W + 1, BIGKEY, dtype=jnp.int32)
-        .at[flat_idx.reshape(-1)]
-        .min(key.reshape(-1))
-    )[: H * W].reshape(H, W)
+    SENT = jnp.iinfo(jnp.int32).min
+
+    key1 = jnp.where(in_rng, minS * Dpow + best, BIGKEY)
+    # full-width planes (computed range only)
+    keyW = jnp.full((H, W), BIGKEY, jnp.int32)
+    keyW = jax.lax.dynamic_update_slice(keyW, key1, (0, minX1))
+    d_intW = jnp.full((H, W), SENT, jnp.int32)
+    d_intW = jax.lax.dynamic_update_slice(d_intW, d_int, (0, minX1))
+
+    best_key = jnp.full((H, W), BIGKEY, jnp.int32)
+    for dd in range(min_disp, min_disp + num_disp):
+        cand = jnp.where(
+            _shift_cols_i32(d_intW, dd, SENT) == dd,
+            _shift_cols_i32(keyW, dd, BIGKEY),
+            BIGKEY,
+        )
+        best_key = jnp.minimum(best_key, cand)
     has = best_key != BIGKEY
     disp2 = jnp.where(has, best_key % Dpow + min_disp, INVALID)
 
     # validate every computed-range pixel against both floor & ceil
-    # candidates. d_ is _d or _d+1, so x_ is _x or _x-1: pack disp2[x] and
-    # disp2[x-1] into one int32 and read both with a single gather.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    # candidates via two more shift-reduces (_d and d_ each span at most
+    # [minD-1, minD+D]).
     xsW = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     ok_range = (xsW >= minX1) & (xsW < minX1 + width1)
     d1 = d16
@@ -284,36 +296,16 @@ def _lr_check_sgbm(
     _x = xsW - _d
     x_ = xsW - d_
 
-    doff = 1 << 14  # makes INVALID and min_disp-relative values nonnegative
-    d2p = disp2 + doff
-    d2_left = jnp.concatenate(
-        [jnp.full((H, 1), INVALID + doff, jnp.int32), d2p[:, :-1]], axis=1
-    )
-    pairs = d2p | (d2_left << 16)
-
+    d2a = jnp.full((H, W), INVALID, jnp.int32)
+    d2b = jnp.full((H, W), INVALID, jnp.int32)
+    for dd in range(min_disp - 1, min_disp + num_disp + 1):
+        sh = _shift_cols_i32(disp2, -dd, INVALID)
+        d2a = jnp.where(_d == dd, sh, d2a)
+        d2b = jnp.where(d_ == dd, sh, d2b)
     oka = (_x >= 0) & (_x < W)
-    lin = rows * W + jnp.clip(_x, 0, W - 1)
-    got = pairs.reshape(-1)[lin.reshape(-1)].reshape(H, W)
-    d2a = jnp.where(oka, (got & 0xFFFF) - doff, INVALID)
     okb = (x_ >= 0) & (x_ < W)
-    d2b_shift = jnp.where(oka & (d_ != _d), (got >> 16) - doff, d2a)
-    # when x_ == _x - 1 but _x itself was out of range, fall back to direct
-    # bounds handling: x_ = _x - 1 >= 0 requires _x >= 1; if _x == W (out),
-    # x_ == W - 1 must be read -- handle by clamping the pair gather: _x == W
-    # reads pairs[W-1] whose high half is disp2[W-2]... instead gather at
-    # clip keeps low=disp2[W-1]; select accordingly.
-    d2b = jnp.where(
-        okb,
-        jnp.where(
-            oka,
-            d2b_shift,
-            # _x out of range but x_ in range: only possible at _x == W,
-            # x_ == W-1 (d_ == _d + 1); the clipped gather read
-            # pairs[W-1] whose LOW half is disp2[W-1] == disp2[x_]
-            (got & 0xFFFF) - doff,
-        ),
-        INVALID,
-    )
+    d2a = jnp.where(oka, d2a, INVALID)
+    d2b = jnp.where(okb, d2b, INVALID)
     bad = (
         validW
         & oka & (d2a >= min_disp) & (jnp.abs(d2a - _d) > max_diff)
@@ -338,9 +330,24 @@ def stereo_sgbm(
     p1 = cfg.p1
     p2 = max(cfg.p2, p1 + 1)
 
-    C, minX1, width1 = sgbm_cost_volume(
-        left, right, D, cfg.block_size, minD, cfg.pre_filter_cap
+    use_pallas_cost = (
+        _use_pallas(cfg, H, W - D if minD == 0 else 0, D)
+        and minD == 0
+        and (W - D) % 128 == 0
+        and H % 8 == 0
+        and D % 8 == 0
     )
+    if use_pallas_cost:
+        from rt_depth_map_tpu.ops.pallas.sgm_cost import sgm_cost_volume_pallas
+
+        C, minX1, width1 = sgm_cost_volume_pallas(
+            left, right, D, cfg.block_size, cfg.pre_filter_cap,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        C, minX1, width1 = sgbm_cost_volume(
+            left, right, D, cfg.block_size, minD, cfg.pre_filter_cap
+        )
 
     if _use_pallas(cfg, H, width1, D):
         # Pallas aggregation (ops/pallas/sgm_scan.py): each vertical pass
@@ -400,7 +407,7 @@ def stereo_sgbm(
 
     if cfg.disp12_max_diff >= 0:
         disp = _lr_check_sgbm(
-            disp, best, minS, minX1, width1, minD, cfg.disp12_max_diff
+            disp, best, minS, minX1, width1, minD, D, cfg.disp12_max_diff
         )
     if cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
         disp = filter_speckles(
