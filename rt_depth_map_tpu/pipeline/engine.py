@@ -283,6 +283,15 @@ class Engine:
         out = jax.tree_util.tree_map(np.asarray, out)
         return FrameResult(**out)
 
+    def set_hsv_thresholds(self, low, high) -> None:
+        """Runtime HSV threshold adjustment (the reference's -a trackbar UI,
+        estimator.cpp:294-304). Traced as dynamic scalars -- no recompile."""
+        self.hsv_low = np.asarray(low, np.uint8)
+        self.hsv_high = np.asarray(high, np.uint8)
+
+    def set_min_object_size(self, min_size: int) -> None:
+        self.min_object_size = int(min_size)
+
     def process_batch(self, lefts: np.ndarray, rights: np.ndarray):
         """Run the device program on a (B, H, W, 3) batch of decoded pairs
         (multi-stream batching, BASELINE.md); returns a list of FrameResult."""
