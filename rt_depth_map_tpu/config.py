@@ -114,6 +114,9 @@ class EngineConfig:
     enable_post_filter: bool = False  # WLS disparity post-filter
     show_disparity_value: bool = False
     enable_execution_time_measurement: bool = True
+    # Numerical sanity checking (SURVEY.md section 5.2: the reference has no
+    # sanitizers; the JAX-native analog is jax_debug_nans/jax_debug_infs).
+    debug_checks: bool = False
 
     matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
 

@@ -117,6 +117,9 @@ class Engine:
         decoder: Optional[MJPEGDecoder] = None,
     ):
         self.cfg = cfg
+        if cfg.debug_checks:
+            jax.config.update("jax_debug_nans", True)
+            jax.config.update("jax_debug_infs", True)
         self.source = source if source is not None else make_source(cfg)
         self.decoder = decoder if decoder is not None else MJPEGDecoder()
         W, H = self.source.width, self.source.height
@@ -308,6 +311,36 @@ class Engine:
         return [
             FrameResult(**{k: v[i] for k, v in out.items()}) for i in range(B)
         ]
+
+    def step_batch(self):
+        """One batched iteration: grab cfg.batch pairs (from a
+        MultiStreamSource's rigs, or consecutive frames of a single source),
+        decode, and run them in one device dispatch."""
+        B = self.cfg.batch
+        st = self.stats
+        st.start_iteration()
+        with st.measure("grabOneFrame"):
+            if hasattr(self.source, "grab_batch"):
+                pairs = self.source.grab_batch()
+            else:
+                pairs = [self.source.grab() for _ in range(B)]
+        with st.measure("decode"):
+            decoded = []
+            for lf, rf in pairs:
+                left = self._decode_eye(lf, 0)
+                right = self._decode_eye(rf, 1)
+                if left is not None and right is not None:
+                    decoded.append((left, right))
+        if len(decoded) < B:
+            return None
+        self._last = decoded[-1]
+        with st.measure("h2d+device+d2h"):
+            results = self.process_batch(
+                np.stack([d[0] for d in decoded]),
+                np.stack([d[1] for d in decoded]),
+            )
+        self._frames_done += B
+        return results
 
     def step(self) -> Optional[FrameResult]:
         """One iteration of the frame loop (estimator.cpp:18-82)."""
