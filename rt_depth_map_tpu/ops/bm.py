@@ -8,12 +8,14 @@ ops/pallas/ implements the same contract with a fused cost/WTA loop.
 TPU formulation notes:
   * The cost volume is built as a (D, H, W) int32 tensor -- W on the lane
     dimension, D as the outermost (cheap to shard or scan over).
-  * Window sums are two separable 1-D `reduce_window` additions (VPU).
+  * Window sums are prefix-sum sliding windows (no reduce_window/gather).
   * WTA tie-break toward the LARGEST disparity is expressed as an argmin
     over the d-reversed volume.
-  * The left-right check's per-row scatter-min uses a packed
-    (cost, x)-lexicographic key so a single `min`-scatter reproduces
+  * The left-right check packs (cost, d) keys and resolves winners with
+    shift-reduces over candidate disparities (no scatter), reproducing
     cv2's first-lowest-cost-wins semantics.
+  * On TPU-compatible shapes the cost+WTA stage runs as the fused streaming
+    Pallas kernel in ops/pallas/bm_kernel.py (no cost volume in HBM).
   * Dynamic per-frame ROIs (estimator.cpp:54-56 re-ROIs every frame) are
     traced scalars turned into masks via broadcasted iota -- static shapes,
     no recompilation per frame.

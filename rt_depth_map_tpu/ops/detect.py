@@ -32,32 +32,6 @@ _BIG = 2**30  # python int, not jnp scalar: module-scope device constants get li
 # as executable parameters and the jit fast path drops them on re-dispatch
 
 
-def _neighbor_min8(labels: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
-    """Min label over active 8-neighbors (both endpoints active)."""
-    H, W = labels.shape
-    lab = jnp.where(active, labels, _BIG)
-
-    def shift(a, dy, dx, fill):
-        out = a
-        if dy > 0:
-            out = jnp.concatenate([jnp.full((dy, W), fill, a.dtype), out[:-dy]], 0)
-        elif dy < 0:
-            out = jnp.concatenate([out[-dy:], jnp.full((-dy, W), fill, a.dtype)], 0)
-        if dx > 0:
-            out = jnp.concatenate([jnp.full((H, dx), fill, a.dtype), out[:, :-dx]], 1)
-        elif dx < 0:
-            out = jnp.concatenate([out[:, -dx:], jnp.full((H, -dx), fill, a.dtype)], 1)
-        return out
-
-    out = lab
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            out = jnp.minimum(out, shift(lab, dy, dx, _BIG))
-    return jnp.where(active, out, labels)
-
-
 def connected_components8(active: jnp.ndarray) -> jnp.ndarray:
     """int32 labels (min linear index per component) of 8-connected blobs;
     inactive pixels keep a unique self-label. Gather-free segmented-scan

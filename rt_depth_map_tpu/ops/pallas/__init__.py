@@ -10,4 +10,6 @@ These kernels keep carries and cost stripes resident in VMEM and stream
 rows with double-buffered DMA instead.
 """
 
+from rt_depth_map_tpu.ops.pallas.bm_kernel import bm_cost_wta  # noqa: F401
+from rt_depth_map_tpu.ops.pallas.sgm_cost import sgm_cost_volume_pallas  # noqa: F401
 from rt_depth_map_tpu.ops.pallas.sgm_scan import sgm_aggregate_vertical  # noqa: F401

@@ -20,9 +20,12 @@ TPU formulation notes (SURVEY.md section 7 step 6):
   * Diagonal directions shift the carry by +/-1 column with zero fill each
     step, which reproduces OpenCV's zero border initialization exactly
     (zero rows have min 0, so delta = P2 and m = 0 at borders).
-  * The left-right consistency check uses a packed (cost, x)-lexicographic
-    key min-scatter (same trick as ops/bm.py) to reproduce the sequential
-    "first strictly-lower-cost wins" update order.
+  * The left-right consistency check packs (cost, d) keys and resolves the
+    per-right-pixel winner with shift-reduces over the candidate disparities
+    (no scatter/gather) while reproducing the sequential "first
+    strictly-lower-cost wins" update order.
+  * On TPU-compatible shapes the cost volume and the vertical/diagonal
+    aggregation passes run as Pallas kernels (ops/pallas/).
 """
 
 from __future__ import annotations
