@@ -167,9 +167,129 @@ def connected_components_scan(
     return labels
 
 
-def component_sizes(labels: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
-    """(H, W) size of each pixel's component (0 for inactive pixels)."""
+def connected_components_bbox(
+    active: jnp.ndarray, connectivity: int = 8
+):
+    """(labels, minx, maxx) per pixel for components of `active`.
+
+    Bounding-box extremes are idempotent min/max aggregates, so they ride
+    the same segmented-scan propagation as the labels -- no scatter (the
+    4-scatter bbox extraction costs ~25ms at 720p; this converges with the
+    labels in the same ~3 sweeps). miny/maxy come free from the label
+    structure: labels are min linear indices so labels//W == miny, and the
+    co-propagated max linear index //W == maxy (returned as maxidx).
+
+    Returns (labels, maxidx, minx, maxx), each (H, W) int32; inactive pixels
+    hold their self values.
+    """
+    H, W = active.shape
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    allowed_h = active[:, :-1] & active[:, 1:]
+    allowed_v = active[:-1, :] & active[1:, :]
+    diag = []
+    if connectivity == 8:
+        diag = [active[:-1, :-1] & active[1:, 1:],
+                active[:-1, 1:] & active[1:, :-1]]
+
+    def hop_many(fields):
+        """Shift-based neighbor-min over all fields at once (diagonal links
+        for 8-connectivity; the row/col scans cover the axis edges)."""
+        outs = []
+        for f in fields:
+            lab = jnp.where(active, f, _BIG)
+            out = lab
+            l = jnp.where(allowed_h, lab[:, :-1], _BIG)
+            out = jnp.concatenate([out[:, :1], jnp.minimum(out[:, 1:], l)], 1)
+            r = jnp.where(allowed_h, lab[:, 1:], _BIG)
+            out = jnp.concatenate([jnp.minimum(out[:, :-1], r), out[:, -1:]], 1)
+            u = jnp.where(allowed_v, lab[:-1], _BIG)
+            out = jnp.concatenate([out[:1], jnp.minimum(out[1:], u)], 0)
+            d = jnp.where(allowed_v, lab[1:], _BIG)
+            out = jnp.concatenate([jnp.minimum(out[:-1], d), out[-1:]], 0)
+            if connectivity == 8:
+                a_se, a_sw = diag
+                se = jnp.where(a_se, lab[:-1, :-1], _BIG)
+                out = out.at[1:, 1:].min(se)
+                nw = jnp.where(a_se, lab[1:, 1:], _BIG)
+                out = out.at[:-1, :-1].min(nw)
+                sw = jnp.where(a_sw, lab[:-1, 1:], _BIG)
+                out = out.at[1:, :-1].min(sw)
+                ne = jnp.where(a_sw, lab[1:, :-1], _BIG)
+                out = out.at[:-1, 1:].min(ne)
+            outs.append(jnp.where(active, out, f))
+        return outs
+
+    def sweep(fields):
+        if connectivity == 8:
+            fields = hop_many(fields)
+        fields = [
+            jnp.where(active, _seg_min_scan(f, allowed_h, axis=1), f)
+            for f in fields
+        ]
+        return [
+            jnp.where(active, _seg_min_scan(f, allowed_v, axis=0), f)
+            for f in fields
+        ]
+
+    init = (idx, -idx, xs, -xs)  # label, -maxidx, minx, -maxx
+
+    def body(state):
+        fields, _ = state
+        new = sweep(sweep(list(fields)))
+        changed = False
+        for a, b in zip(fields, new):
+            changed = jnp.any(a != b) | changed
+        return tuple(new), changed
+
+    (labels, neg_maxidx, minx, neg_maxx), _ = jax.lax.while_loop(
+        lambda s: s[1], body, (init, jnp.bool_(True))
+    )
+    return labels, -neg_maxidx, minx, -neg_maxx
+
+
+def component_sizes(
+    labels: jnp.ndarray,
+    active: jnp.ndarray,
+    values: jnp.ndarray = None,
+    max_diff=None,
+    connectivity: int = 4,
+) -> jnp.ndarray:
+    """(H, W) size of each pixel's component (0 for inactive pixels).
+
+    One scatter-add computes per-root totals (update-bound, ~9ms at 720p --
+    unavoidable: XLA scatter cost scales with updates, not bins); the
+    per-pixel read-back is NOT a second gather (~8ms) but a 2-3 sweep
+    min-propagation of the root values over the same component edges, when
+    `values`/`max_diff` describing those edges are provided."""
     H, W = labels.shape
     ones = active.astype(jnp.int32).reshape(-1)
     sizes = jnp.zeros(H * W, jnp.int32).at[labels.reshape(-1)].add(ones)
-    return jnp.where(active, sizes[labels.reshape(-1)].reshape(H, W), 0)
+    if values is None:
+        return jnp.where(active, sizes[labels.reshape(-1)].reshape(H, W), 0)
+
+    # roots read their own bin elementwise (label == own linear index there)
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    is_root = active & (labels == idx)
+    field = jnp.where(is_root, sizes.reshape(H, W), _BIG)
+
+    v = values.astype(jnp.int32)
+    md = jnp.asarray(max_diff, jnp.int32)
+    allowed_h = active[:, :-1] & active[:, 1:] & (jnp.abs(v[:, :-1] - v[:, 1:]) <= md)
+    allowed_v = active[:-1, :] & active[1:, :] & (jnp.abs(v[:-1, :] - v[1:, :]) <= md)
+
+    def body(state):
+        f, _ = state
+        new = jnp.where(active, _seg_min_scan(f, allowed_h, axis=1), f)
+        new = jnp.where(active, _seg_min_scan(new, allowed_v, axis=0), new)
+        return new, jnp.any(new != f)
+
+    field, _ = jax.lax.while_loop(lambda s: s[1], body, (field, jnp.bool_(True)))
+    return jnp.where(active, field, 0)

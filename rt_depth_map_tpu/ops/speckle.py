@@ -100,6 +100,8 @@ def filter_speckles(
 
     active = disp != new_val
     labels = connected_components_scan(disp, active, jnp.int32(max_diff), 4)
-    comp_size = component_sizes(labels, active)
+    comp_size = component_sizes(
+        labels, active, values=disp, max_diff=max_diff, connectivity=4
+    )
     small = active & (comp_size <= max_size)
     return jnp.where(small, jnp.asarray(new_val, disp.dtype), disp)
