@@ -137,10 +137,13 @@ def sgm_cost_volume_pallas(
     num_disp: int,
     block_size: int,
     pre_filter_cap: int = 0,
+    layout: str = "hwd",
     interpret: bool = False,
 ):
-    """(C (H, W1, D) int32, minX1, width1) -- bit-identical to
-    ops.sgbm.sgbm_cost_volume for min_disparity == 0. Requires
+    """(C, minX1, width1) -- bit-identical to ops.sgbm.sgbm_cost_volume for
+    min_disparity == 0. layout: "hwd" -> (H, W1, D) (one XLA transpose, the
+    layout the lax.scan aggregation consumes); "hdw" -> the kernel-native
+    (H, D, W1) (no transpose; consumed by ops/pallas/sgm_hdw.py). Requires
     W1 % 128 == 0, H % 8 == 0, D % 8 == 0."""
     ftzero = max(pre_filter_cap, 15) | 1
     H, W = left.shape
@@ -198,5 +201,7 @@ def sgm_cost_volume_pallas(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(planes)
+    if layout == "hdw":
+        return C_hdw, minX1, W1
     C = jnp.transpose(C_hdw, (0, 2, 1))
     return C, minX1, W1

@@ -1,0 +1,296 @@
+"""SGM aggregation + fused WTA in the (H, D, W1) volume layout.
+
+In this layout each image row's costs form a (D, W1) slab: D on sublanes,
+W1 on lanes. That makes the WTA reduction (over D) a SUBLANE reduce whose
+(W1,) result already lives on lanes -- the row-store relayout that made the
+first fused-WTA attempt cost ~40ms/frame disappears. The fused final pass
+therefore never materializes the summed volume S:
+
+  down pass:  3 directions (+1, {0,+1,-1}), writes the partial sum
+              (optionally accumulating horizontal partials streamed in);
+  final pass: 3 directions (-1, {0,+1,-1}) + per-row WTA/uniqueness/subpixel
+              reduced in-kernel, 8-row block outputs.
+
+d+/-1 shifts in the SGM recurrence are sublane shifts (axis 0 concats);
+diagonal x-shifts are lane shifts (axis 1). Bit-identical to the
+(H, W1, D) XLA reference path."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_COST = 32767
+DISP_SCALE = 16
+
+
+def _sgm_step_hdw(C_slab, Lp, p1, p2):
+    """(D, W1) recurrence step; D on sublanes."""
+    D, W1 = Lp.shape
+    minLp = jnp.min(Lp, axis=0, keepdims=True)
+    lm = jnp.concatenate(
+        [jnp.full((1, W1), MAX_COST, jnp.int32), Lp[:-1]], axis=0
+    )
+    lp_ = jnp.concatenate(
+        [Lp[1:], jnp.full((1, W1), MAX_COST, jnp.int32)], axis=0
+    )
+    delta = minLp + p2
+    m = jnp.minimum(jnp.minimum(Lp, lm + p1), jnp.minimum(lp_ + p1, delta))
+    return C_slab + m - delta
+
+
+def _shift_lanes(L, dx):
+    """Zero-fill shift along W1 (lanes): previous pixel of direction
+    (dy, dx) at column x is column x - dx of the previous row."""
+    D, W1 = L.shape
+    if dx == 0:
+        return L
+    if dx > 0:
+        return jnp.concatenate(
+            [jnp.zeros((D, dx), jnp.int32), L[:, :-dx]], axis=1
+        )
+    return jnp.concatenate([L[:, -dx:], jnp.zeros((D, -dx), jnp.int32)], axis=1)
+
+
+def _three_dirs(C_slab, c0, c1, c2, p1, p2):
+    L0 = _sgm_step_hdw(C_slab, c0, p1, p2)
+    L1 = _sgm_step_hdw(C_slab, _shift_lanes(c1, 1), p1, p2)
+    L2 = _sgm_step_hdw(C_slab, _shift_lanes(c2, -1), p1, p2)
+    return L0, L1, L2
+
+
+def _down_kernel(C_hbm, Sp_hbm, S_hbm, c0, c1, c2, crow, sprow, outb,
+                 in_sems, sp_sems, out_sems, *, H, W1, D, p1, p2,
+                 with_partial):
+    def c_dma(slot, i):
+        return pltpu.make_async_copy(C_hbm.at[i], crow.at[slot],
+                                     in_sems.at[slot])
+
+    def sp_dma(slot, i):
+        return pltpu.make_async_copy(Sp_hbm.at[i], sprow.at[slot],
+                                     sp_sems.at[slot])
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(outb.at[slot], S_hbm.at[i],
+                                     out_sems.at[slot])
+
+    c0[...] = jnp.zeros((D, W1), jnp.int32)
+    c1[...] = jnp.zeros((D, W1), jnp.int32)
+    c2[...] = jnp.zeros((D, W1), jnp.int32)
+    c_dma(0, 0).start()
+    if with_partial:
+        sp_dma(0, 0).start()
+
+    def body(i, _):
+        slot = i % 2
+
+        @pl.when(i + 1 < H)
+        def _():
+            c_dma(1 - slot, i + 1).start()
+            if with_partial:
+                sp_dma(1 - slot, i + 1).start()
+
+        c_dma(slot, i).wait()
+        if with_partial:
+            sp_dma(slot, i).wait()
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, i - 2).wait()
+
+        L0, L1, L2 = _three_dirs(crow[slot], c0[...], c1[...], c2[...], p1, p2)
+        c0[...] = L0
+        c1[...] = L1
+        c2[...] = L2
+        acc = L0 + L1 + L2
+        if with_partial:
+            acc = acc + sprow[slot]
+        outb[slot] = acc
+        out_dma(slot, i).start()
+        return 0
+
+    jax.lax.fori_loop(0, H, body, 0)
+    out_dma((H - 2) % 2, H - 2).wait()
+    out_dma((H - 1) % 2, H - 1).wait()
+
+
+def _wta_row_hdw(S_slab, D, uniqueness_ratio):
+    """(D, W1) aggregated costs -> per-column WTA outputs (all (W1,) on
+    lanes; golden parity). Dpow = 256 packs (S, d) into int32."""
+    W1 = S_slab.shape[1]
+    di = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+    kmin = jnp.min(S_slab * 256 + di, axis=0)
+    best = kmin % 256
+    minS = kmin // 256
+
+    bestb = best[None, :]
+    outside = jnp.abs(di - bestb) > 1
+    uniq = jnp.any(
+        outside & (S_slab * (100 - uniqueness_ratio) < minS[None, :] * 100),
+        axis=0,
+    ).astype(jnp.int32)
+
+    BIGS = 2**30
+    sm = jnp.min(jnp.where(di == bestb - 1, S_slab, BIGS), axis=0)
+    sp = jnp.min(jnp.where(di == bestb + 1, S_slab, BIGS), axis=0)
+    has_nb = (best > 0) & (best < D - 1)
+    sm = jnp.where(best > 0, sm, minS)
+    sp = jnp.where(best < D - 1, sp, minS)
+    denom2 = jnp.maximum(sm + sp - 2 * minS, 1)
+    num = (sm - sp) * DISP_SCALE + denom2
+    a = jnp.abs(num)
+    b = denom2 * 2
+    q = (a.astype(jnp.float32) / b.astype(jnp.float32)).astype(jnp.int32)
+    q = jnp.where(q * b > a, q - 1, q)
+    q = jnp.where((q + 1) * b <= a, q + 1, q)
+    sub = jnp.sign(num) * q
+    dval = jnp.where(has_nb, best * DISP_SCALE + sub, best * DISP_SCALE)
+    return best, minS, dval, uniq
+
+
+def _final_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm, uniq_hbm,
+                  c0, c1, c2, crow, sprow, obuf, in_sems, sp_sems, out_sems,
+                  *, H, W1, D, p1, p2, uniqueness_ratio, reverse):
+    def y_of(i):
+        return (H - 1 - i) if reverse else i
+
+    def c_dma(slot, i):
+        return pltpu.make_async_copy(C_hbm.at[y_of(i)], crow.at[slot],
+                                     in_sems.at[slot])
+
+    def sp_dma(slot, i):
+        return pltpu.make_async_copy(Sp_hbm.at[y_of(i)], sprow.at[slot],
+                                     sp_sems.at[slot])
+
+    def out_dmas(slot, blk):
+        y0 = pl.multiple_of((H - 8 * (blk + 1)) if reverse else 8 * blk, 8)
+        targets = (best_hbm, minS_hbm, dval_hbm, uniq_hbm)
+        return [
+            pltpu.make_async_copy(
+                obuf.at[slot, k], t.at[pl.ds(y0, 8), :], out_sems.at[slot, k]
+            )
+            for k, t in enumerate(targets)
+        ]
+
+    c0[...] = jnp.zeros((D, W1), jnp.int32)
+    c1[...] = jnp.zeros((D, W1), jnp.int32)
+    c2[...] = jnp.zeros((D, W1), jnp.int32)
+    c_dma(0, 0).start()
+    sp_dma(0, 0).start()
+    n_blocks = H // 8
+
+    def body(i, _):
+        slot = i % 2
+        blk = i // 8
+        r = i % 8
+        oslot = blk % 2
+
+        @pl.when(i + 1 < H)
+        def _():
+            c_dma(1 - slot, i + 1).start()
+            sp_dma(1 - slot, i + 1).start()
+
+        c_dma(slot, i).wait()
+        sp_dma(slot, i).wait()
+
+        @pl.when((r == 0) & (blk >= 2))
+        def _():
+            for d in out_dmas(oslot, blk - 2):
+                d.wait()
+
+        L0, L1, L2 = _three_dirs(crow[slot], c0[...], c1[...], c2[...], p1, p2)
+        c0[...] = L0
+        c1[...] = L1
+        c2[...] = L2
+        S_slab = sprow[slot] + L0 + L1 + L2
+        best, minS, dval, uniq = _wta_row_hdw(S_slab, D, uniqueness_ratio)
+        row = (7 - r) if reverse else r  # fill order matches sweep
+        obuf[oslot, 0, pl.ds(row, 1)] = best.reshape(1, W1)
+        obuf[oslot, 1, pl.ds(row, 1)] = minS.reshape(1, W1)
+        obuf[oslot, 2, pl.ds(row, 1)] = dval.reshape(1, W1)
+        obuf[oslot, 3, pl.ds(row, 1)] = uniq.reshape(1, W1)
+
+        @pl.when(r == 7)
+        def _():
+            for d in out_dmas(oslot, blk):
+                d.start()
+
+        return 0
+
+    jax.lax.fori_loop(0, H, body, 0)
+    if n_blocks >= 2:
+        for d in out_dmas((n_blocks - 2) % 2, n_blocks - 2):
+            d.wait()
+    for d in out_dmas((n_blocks - 1) % 2, n_blocks - 1):
+        d.wait()
+
+
+def sgm_down_pass_hdw(C, p1, p2, partial=None, interpret=False):
+    """Top-down 3-direction aggregation over (H, D, W1) cost, plus
+    `partial` when given."""
+    H, D, W1 = C.shape
+    p2 = max(p2, p1 + 1)
+    with_partial = partial is not None
+    kernel = functools.partial(
+        _down_kernel, H=H, W1=W1, D=D, p1=p1, p2=p2, with_partial=with_partial
+    )
+    args = (C, partial) if with_partial else (C, C)  # dummy 2nd when unused
+    scratch = [
+        pltpu.VMEM((D, W1), jnp.int32),
+        pltpu.VMEM((D, W1), jnp.int32),
+        pltpu.VMEM((D, W1), jnp.int32),
+        pltpu.VMEM((2, D, W1), jnp.int32),
+        pltpu.VMEM((2, D, W1), jnp.int32),
+        pltpu.VMEM((2, D, W1), jnp.int32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, D, W1), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*args)
+
+
+def sgm_final_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
+                      reverse=True, interpret=False):
+    """Final 3-direction aggregation fused with WTA over (H, D, W1):
+    bottom-up (reverse=True, the 8-path finish) or top-down (the 4-path
+    finish). Returns (best, minS, dval, uniq), each (H, W1) int32."""
+    H, D, W1 = C.shape
+    if W1 % 128 or H % 8 or H < 16:
+        raise ValueError(f"(H, W1) = ({H}, {W1}) must tile (8/16, 128)")
+    p2 = max(p2, p1 + 1)
+    kernel = functools.partial(
+        _final_kernel, H=H, W1=W1, D=D, p1=p1, p2=p2,
+        uniqueness_ratio=uniqueness_ratio, reverse=reverse,
+    )
+    out = jax.ShapeDtypeStruct((H, W1), jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(out,) * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((D, W1), jnp.int32),
+            pltpu.VMEM((D, W1), jnp.int32),
+            pltpu.VMEM((D, W1), jnp.int32),
+            pltpu.VMEM((2, D, W1), jnp.int32),
+            pltpu.VMEM((2, D, W1), jnp.int32),
+            pltpu.VMEM((2, 4, 8, W1), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(C, S_partial)

@@ -333,76 +333,93 @@ def stereo_sgbm(
     p1 = cfg.p1
     p2 = max(cfg.p2, p1 + 1)
 
-    use_pallas_cost = (
+    use_pallas = (
         _use_pallas(cfg, H, W - D if minD == 0 else 0, D)
         and minD == 0
         and (W - D) % 128 == 0
         and H % 8 == 0
+        and H >= 16
         and D % 8 == 0
     )
-    if use_pallas_cost:
+    if use_pallas:
+        # Full (H, D, W1)-layout Pallas pipeline (ops/pallas/sgm_hdw.py):
+        # the cost kernel's native layout feeds the vertical passes' (D, W1)
+        # carries directly, and the final pass fuses WTA as sublane reduces
+        # whose results land on lanes -- S is never materialized.
         from rt_depth_map_tpu.ops.pallas.sgm_cost import sgm_cost_volume_pallas
-
-        C, minX1, width1 = sgm_cost_volume_pallas(
-            left, right, D, cfg.block_size, cfg.pre_filter_cap,
-            interpret=jax.default_backend() == "cpu",
+        from rt_depth_map_tpu.ops.pallas.sgm_hdw import (
+            sgm_down_pass_hdw,
+            sgm_final_wta_hdw,
         )
+
+        interp = jax.default_backend() == "cpu"
+        C_hdw, minX1, width1 = sgm_cost_volume_pallas(
+            left, right, D, cfg.block_size, cfg.pre_filter_cap,
+            layout="hdw", interpret=interp,
+        )
+        # horizontal scans over x with an (H, D) column carry
+        Ct = jnp.transpose(C_hdw, (2, 0, 1))  # (W1, H, D)
+
+        def steph(Lp, Ccol):
+            L = _sgm_step(Ccol, Lp, p1, p2)
+            return L, L
+
+        z = jnp.zeros((H, D), jnp.int32)
+        _, hf = jax.lax.scan(steph, z, Ct)
+        if cfg.num_paths >= 8:
+            _, hb = jax.lax.scan(steph, z, Ct[::-1])
+            Sh = jnp.transpose(hf, (1, 2, 0)) + jnp.transpose(
+                hb[::-1], (1, 2, 0)
+            )
+            Sa = sgm_down_pass_hdw(C_hdw, p1, p2, partial=Sh,
+                                   interpret=interp)
+            best, minS, dval, uniq = sgm_final_wta_hdw(
+                C_hdw, Sa, p1, p2, cfg.uniqueness_ratio, reverse=True,
+                interpret=interp,
+            )
+        else:
+            Sh = jnp.transpose(hf, (1, 2, 0))
+            best, minS, dval, uniq = sgm_final_wta_hdw(
+                C_hdw, Sh, p1, p2, cfg.uniqueness_ratio, reverse=False,
+                interpret=interp,
+            )
+        bad_uniq = uniq > 0
+        dval = dval + minD * DISP_SCALE
     else:
         C, minX1, width1 = sgbm_cost_volume(
             left, right, D, cfg.block_size, minD, cfg.pre_filter_cap
         )
-
-    if _use_pallas(cfg, H, width1, D):
-        # Pallas aggregation (ops/pallas/sgm_scan.py): each vertical pass
-        # handles 3 directions in one kernel, chaining the partial sum
-        # through the second pass so no extra full-volume add runs in XLA.
-        # The horizontal directions stay lax.scans (their carry is a column,
-        # already well-batched).
-        from rt_depth_map_tpu.ops.pallas.sgm_scan import sgm_aggregate_vertical
-
-        interp = jax.default_backend() == "cpu"
-        Sh = _aggregate_dir(C, p1, p2, 0, 1)
-        if cfg.num_paths >= 8:
-            Sh = Sh + _aggregate_dir(C, p1, p2, 0, -1)
-            Sa = sgm_aggregate_vertical(C, p1, p2, False, partial=Sh,
-                                        interpret=interp)
-            S = sgm_aggregate_vertical(C, p1, p2, True, partial=Sa,
-                                       interpret=interp)
-        else:
-            S = sgm_aggregate_vertical(C, p1, p2, False, partial=Sh,
-                                       interpret=interp)
-    else:
         S = aggregate_cost(C, p1, p2, 8 if cfg.num_paths >= 8 else 4)
 
-    # WTA: ties -> smallest d. One packed-key (S, d) lane reduction yields
-    # both the min cost and its argmin (separate argmin+min cost two full
-    # 472MB volume passes); |S| < 2^19 so S*D + d fits int32.
-    di0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
-    kmin = jnp.min(S * D + di0, axis=2)
-    best = kmin % D
-    minS = kmin // D
+        # WTA: ties -> smallest d. One packed-key (S, d) lane reduction
+        # yields both the min cost and its argmin (separate argmin+min cost
+        # two full volume passes); |S| < 2^19 so S*D + d fits int32.
+        di0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+        kmin = jnp.min(S * D + di0, axis=2)
+        best = kmin % D
+        minS = kmin // D
 
-    # uniqueness (SGBM form): reject if any d outside best+/-1 has
-    # S[d]*(100-ratio) < minS*100
-    di = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
-    outside = jnp.abs(di - best[..., None]) > 1
-    bad_uniq = jnp.any(
-        outside & (S * (100 - cfg.uniqueness_ratio) < minS[..., None] * 100),
-        axis=2,
-    )
+        # uniqueness (SGBM form): reject if any d outside best+/-1 has
+        # S[d]*(100-ratio) < minS*100
+        di = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
+        outside = jnp.abs(di - best[..., None]) > 1
+        bad_uniq = jnp.any(
+            outside & (S * (100 - cfg.uniqueness_ratio) < minS[..., None] * 100),
+            axis=2,
+        )
 
-    # parabolic subpixel (only with both neighbors in range)
-    has_nb = (best > 0) & (best < D - 1)
-    BIGS = jnp.int32(2**30)
-    sm = jnp.min(jnp.where(di == best[..., None] - 1, S, BIGS), axis=2)
-    sp = jnp.min(jnp.where(di == best[..., None] + 1, S, BIGS), axis=2)
-    sm = jnp.where(best > 0, sm, minS)
-    sp = jnp.where(best < D - 1, sp, minS)
-    denom2 = jnp.maximum(sm + sp - 2 * minS, 1)
-    num = (sm - sp) * DISP_SCALE + denom2
-    sub = jnp.sign(num) * (jnp.abs(num) // (denom2 * 2))
-    dval = jnp.where(has_nb, best * DISP_SCALE + sub, best * DISP_SCALE)
-    dval = dval + minD * DISP_SCALE
+        # parabolic subpixel (only with both neighbors in range)
+        has_nb = (best > 0) & (best < D - 1)
+        BIGS = jnp.int32(2**30)
+        sm = jnp.min(jnp.where(di == best[..., None] - 1, S, BIGS), axis=2)
+        sp = jnp.min(jnp.where(di == best[..., None] + 1, S, BIGS), axis=2)
+        sm = jnp.where(best > 0, sm, minS)
+        sp = jnp.where(best < D - 1, sp, minS)
+        denom2 = jnp.maximum(sm + sp - 2 * minS, 1)
+        num = (sm - sp) * DISP_SCALE + denom2
+        sub = jnp.sign(num) * (jnp.abs(num) // (denom2 * 2))
+        dval = jnp.where(has_nb, best * DISP_SCALE + sub, best * DISP_SCALE)
+        dval = dval + minD * DISP_SCALE
 
     disp1 = jnp.where(bad_uniq, INVALID, dval).astype(jnp.int16)
     disp = jnp.full((H, W), INVALID, dtype=jnp.int16)
