@@ -28,7 +28,7 @@ from rt_depth_map_tpu.ops.sgbm import _halfpix, sgbm_preprocess
 
 
 def _kernel(planes_hbm, C_hbm, pin, obuf, in_sems, out_sems, *,
-            R, W1, Wp, D, minX1, min_disp, bs, Rh):
+            R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype):
     w2 = bs // 2
     i = pl.program_id(0)
 
@@ -121,7 +121,7 @@ def _kernel(planes_hbm, C_hbm, pin, obuf, in_sems, out_sems, *,
             acc = h[0:R]
             for r in range(1, bs):
                 acc = acc + h[r : r + R]
-            obuf[slot, :, k, :] = acc
+            obuf[slot, :, k, :] = acc.astype(out_dtype)
         out_dma(slot, db).start()
         return 0
 
@@ -138,6 +138,7 @@ def sgm_cost_volume_pallas(
     block_size: int,
     pre_filter_cap: int = 0,
     layout: str = "hwd",
+    dtype=jnp.int32,
     interpret: bool = False,
 ):
     """(C, minX1, width1) -- bit-identical to ops.sgbm.sgbm_cost_volume for
@@ -184,17 +185,17 @@ def sgm_cost_volume_pallas(
 
     kernel = functools.partial(
         _kernel, R=R, W1=W1, Wp=Wp, D=D, minX1=minX1, min_disp=0, bs=bs,
-        Rh=Rh_pad,
+        Rh=Rh_pad, out_dtype=dtype,
     )
     C_hdw = pl.pallas_call(
         kernel,
         grid=(H // R,),
-        out_shape=jax.ShapeDtypeStruct((H, D, W1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((H, D, W1), dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((12, Rh_pad, Wp), jnp.int32),
-            pltpu.VMEM((2, R, 8, W1), jnp.int32),
+            pltpu.VMEM((2, R, 8, W1), dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -65,7 +65,7 @@ def _three_dirs(C_slab, c0, c1, c2, p1, p2):
 
 def _down_kernel(C_hbm, Sp_hbm, S_hbm, c0, c1, c2, crow, sprow, outb,
                  in_sems, sp_sems, out_sems, *, H, W1, D, p1, p2,
-                 with_partial):
+                 with_partial, io_dtype):
     def c_dma(slot, i):
         return pltpu.make_async_copy(C_hbm.at[i], crow.at[slot],
                                      in_sems.at[slot])
@@ -102,14 +102,16 @@ def _down_kernel(C_hbm, Sp_hbm, S_hbm, c0, c1, c2, crow, sprow, outb,
         def _():
             out_dma(slot, i - 2).wait()
 
-        L0, L1, L2 = _three_dirs(crow[slot], c0[...], c1[...], c2[...], p1, p2)
+        C_slab = crow[slot].astype(jnp.int32)
+        L0, L1, L2 = _three_dirs(C_slab, c0[...], c1[...], c2[...], p1, p2)
         c0[...] = L0
         c1[...] = L1
         c2[...] = L2
         acc = L0 + L1 + L2
         if with_partial:
-            acc = acc + sprow[slot]
-        outb[slot] = acc
+            acc = acc + sprow[slot].astype(jnp.int32)
+        # 5-direction partial sums stay < 5 * win^2 * 236 < 2^15: int16 I/O
+        outb[slot] = acc.astype(io_dtype)
         out_dma(slot, i).start()
         return 0
 
@@ -202,11 +204,12 @@ def _final_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm, uniq_hbm,
             for d in out_dmas(oslot, blk - 2):
                 d.wait()
 
-        L0, L1, L2 = _three_dirs(crow[slot], c0[...], c1[...], c2[...], p1, p2)
+        C_slab = crow[slot].astype(jnp.int32)
+        L0, L1, L2 = _three_dirs(C_slab, c0[...], c1[...], c2[...], p1, p2)
         c0[...] = L0
         c1[...] = L1
         c2[...] = L2
-        S_slab = sprow[slot] + L0 + L1 + L2
+        S_slab = sprow[slot].astype(jnp.int32) + L0 + L1 + L2
         best, minS, dval, uniq = _wta_row_hdw(S_slab, D, uniqueness_ratio)
         row = (7 - r) if reverse else r  # fill order matches sweep
         obuf[oslot, 0, pl.ds(row, 1)] = best.reshape(1, W1)
@@ -231,28 +234,31 @@ def _final_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm, uniq_hbm,
 
 def sgm_down_pass_hdw(C, p1, p2, partial=None, interpret=False):
     """Top-down 3-direction aggregation over (H, D, W1) cost, plus
-    `partial` when given."""
+    `partial` when given. I/O dtype follows C (int16 halves the DMA; the
+    5-direction partial sums stay within int16)."""
     H, D, W1 = C.shape
     p2 = max(p2, p1 + 1)
     with_partial = partial is not None
+    io_dtype = C.dtype
     kernel = functools.partial(
-        _down_kernel, H=H, W1=W1, D=D, p1=p1, p2=p2, with_partial=with_partial
+        _down_kernel, H=H, W1=W1, D=D, p1=p1, p2=p2,
+        with_partial=with_partial, io_dtype=io_dtype,
     )
     args = (C, partial) if with_partial else (C, C)  # dummy 2nd when unused
     scratch = [
         pltpu.VMEM((D, W1), jnp.int32),
         pltpu.VMEM((D, W1), jnp.int32),
         pltpu.VMEM((D, W1), jnp.int32),
-        pltpu.VMEM((2, D, W1), jnp.int32),
-        pltpu.VMEM((2, D, W1), jnp.int32),
-        pltpu.VMEM((2, D, W1), jnp.int32),
+        pltpu.VMEM((2, D, W1), io_dtype),
+        pltpu.VMEM((2, D, W1), io_dtype),
+        pltpu.VMEM((2, D, W1), io_dtype),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((H, D, W1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((H, D, W1), io_dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=scratch,
@@ -284,8 +290,8 @@ def sgm_final_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
             pltpu.VMEM((D, W1), jnp.int32),
             pltpu.VMEM((D, W1), jnp.int32),
             pltpu.VMEM((D, W1), jnp.int32),
-            pltpu.VMEM((2, D, W1), jnp.int32),
-            pltpu.VMEM((2, D, W1), jnp.int32),
+            pltpu.VMEM((2, D, W1), C.dtype),
+            pltpu.VMEM((2, D, W1), S_partial.dtype),
             pltpu.VMEM((2, 4, 8, W1), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

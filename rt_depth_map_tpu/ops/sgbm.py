@@ -353,16 +353,28 @@ def stereo_sgbm(
         )
 
         interp = jax.default_backend() == "cpu"
+        # int16 end-to-end when every materialized volume provably fits:
+        # pix <= 2*ftzero + 255>>2, C <= bs^2 * pix, and the largest
+        # materialized partial is 5 directions (each L_r <= C). Halves all
+        # streaming DMA at the reference operating point (bs=5). Arithmetic
+        # stays int32 in-registers either way.
+        ftzero = max(cfg.pre_filter_cap, 15) | 1
+        pix_max = 2 * ftzero + (255 >> 2)
+        vol_dtype = (
+            jnp.int16
+            if 5 * cfg.block_size * cfg.block_size * pix_max <= 32767
+            else jnp.int32
+        )
         C_hdw, minX1, width1 = sgm_cost_volume_pallas(
             left, right, D, cfg.block_size, cfg.pre_filter_cap,
-            layout="hdw", interpret=interp,
+            layout="hdw", dtype=vol_dtype, interpret=interp,
         )
         # horizontal scans over x with an (H, D) column carry
         Ct = jnp.transpose(C_hdw, (2, 0, 1))  # (W1, H, D)
 
         def steph(Lp, Ccol):
-            L = _sgm_step(Ccol, Lp, p1, p2)
-            return L, L
+            L = _sgm_step(Ccol.astype(jnp.int32), Lp, p1, p2)
+            return L, L.astype(vol_dtype)
 
         z = jnp.zeros((H, D), jnp.int32)
         _, hf = jax.lax.scan(steph, z, Ct)
