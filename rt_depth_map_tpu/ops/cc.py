@@ -284,10 +284,32 @@ def component_sizes(
     md = jnp.asarray(max_diff, jnp.int32)
     allowed_h = active[:, :-1] & active[:, 1:] & (jnp.abs(v[:, :-1] - v[:, 1:]) <= md)
     allowed_v = active[:-1, :] & active[1:, :] & (jnp.abs(v[:-1, :] - v[1:, :]) <= md)
+    if connectivity == 8:
+        a_se = (active[:-1, :-1] & active[1:, 1:]
+                & (jnp.abs(v[:-1, :-1] - v[1:, 1:]) <= md))
+        a_sw = (active[:-1, 1:] & active[1:, :-1]
+                & (jnp.abs(v[:-1, 1:] - v[1:, :-1]) <= md))
+
+    def _diag_hop(f):
+        """Min-propagate across the diagonal edges (the row/col scans only
+        follow axis-aligned edges; without this a diagonal-only-connected
+        pixel would keep the _BIG sentinel)."""
+        lab = jnp.where(active, f, _BIG)
+        out = lab
+        se = jnp.where(a_se, lab[:-1, :-1], _BIG)
+        out = out.at[1:, 1:].min(se)
+        nw = jnp.where(a_se, lab[1:, 1:], _BIG)
+        out = out.at[:-1, :-1].min(nw)
+        sw = jnp.where(a_sw, lab[:-1, 1:], _BIG)
+        out = out.at[1:, :-1].min(sw)
+        ne = jnp.where(a_sw, lab[1:, :-1], _BIG)
+        out = out.at[:-1, 1:].min(ne)
+        return jnp.where(active, out, f)
 
     def body(state):
         f, _ = state
-        new = jnp.where(active, _seg_min_scan(f, allowed_h, axis=1), f)
+        new = f if connectivity == 4 else _diag_hop(f)
+        new = jnp.where(active, _seg_min_scan(new, allowed_h, axis=1), new)
         new = jnp.where(active, _seg_min_scan(new, allowed_v, axis=0), new)
         return new, jnp.any(new != f)
 

@@ -46,10 +46,16 @@ def lr_confidence(
     disp_left: jnp.ndarray,
     disp_right: jnp.ndarray,
     lrc_thresh: int = 24,
+    invalid_left: int | None = None,
+    invalid_right: int | None = None,
 ) -> jnp.ndarray:
     """(H, W) float32 confidence in [0, 1]: 1 where the right view agrees
     within lrc_thresh (x16 units; cv2 default 24 = 1.5 px), 0 elsewhere or
-    where either view is invalid."""
+    where either view is invalid.
+
+    invalid_left/right: the matcher's invalid markers ((min_disparity-1)*16);
+    pixels holding them get zero confidence. When omitted, only sentinel
+    int16-min values are treated as invalid."""
     H, W = disp_left.shape
     dl = disp_left.astype(jnp.int32)
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -62,6 +68,10 @@ def lr_confidence(
     # dl + dr ~ 0
     consistent = jnp.abs(dl + dr_at) <= lrc_thresh
     valid = (dl > jnp.iinfo(jnp.int16).min) & ok
+    if invalid_left is not None:
+        valid = valid & (dl != invalid_left)
+    if invalid_right is not None:
+        valid = valid & (dr_at != invalid_right)
     return (consistent & valid).astype(jnp.float32)
 
 
@@ -150,8 +160,13 @@ def wls_filter(
     disp_left/right: int16 x16 maps (right from the mirrored matcher).
     guide_gray: (H, W) uint8 rectified left image.
     Returns (filtered_disp int16 x16, confidence float32 in [0,1])."""
-    conf = lr_confidence(disp_left, disp_right, lrc_thresh)
     INVALID = (cfg.min_disparity - 1) * DISP_SCALE
+    # right matcher runs the mirrored range (see right_matcher_config)
+    INVALID_R = (-(cfg.min_disparity + cfg.num_disparities)) * DISP_SCALE
+    conf = lr_confidence(
+        disp_left, disp_right, lrc_thresh,
+        invalid_left=INVALID, invalid_right=INVALID_R,
+    )
     valid = disp_left != INVALID
     w = conf * valid.astype(jnp.float32)
     # prefill zero-confidence pixels with the confident mean so the floored

@@ -54,10 +54,28 @@ class _v4l2_pix_format(ctypes.Structure):
 
 
 class _v4l2_format(ctypes.Structure):
+    # The kernel's fmt union is 8-byte aligned (v4l2_window holds pointers),
+    # so fmt starts at offset 8, not 4; total size is the 208 encoded in
+    # VIDIOC_S_FMT (_IOWR('V', 5, 208)). Checked by tests/test_v4l2_abi.py.
     _fields_ = [
         ("type", ctypes.c_uint32),
+        ("_pad0", ctypes.c_uint32),
         ("fmt", _v4l2_pix_format),
-        ("_pad", ctypes.c_uint8 * 156),
+        ("_pad", ctypes.c_uint8 * 152),
+    ]
+
+
+class _v4l2_timecode(ctypes.Structure):
+    # 16 bytes: u32 type, u32 flags, u8 frames/seconds/minutes/hours,
+    # u8 userbits[4]
+    _fields_ = [
+        ("type", ctypes.c_uint32),
+        ("flags", ctypes.c_uint32),
+        ("frames", ctypes.c_uint8),
+        ("seconds", ctypes.c_uint8),
+        ("minutes", ctypes.c_uint8),
+        ("hours", ctypes.c_uint8),
+        ("userbits", ctypes.c_uint8 * 4),
     ]
 
 
@@ -81,6 +99,11 @@ class _v4l2_buffer(ctypes.Structure):
             ("fd", ctypes.c_int32),
         ]
 
+    # 64-bit layout, 88 bytes total (the 0x58 encoded in VIDIOC_QUERYBUF):
+    # struct timeval timestamp is 8-byte aligned (4 pad bytes after field),
+    # v4l2_timecode is 16 bytes, and the m union (contains pointers) is
+    # 8-byte aligned after memory. Offsets asserted by tests/test_v4l2_abi.py
+    # against linux/videodev2.h ground truth.
     _fields_ = [
         ("index", ctypes.c_uint32),
         ("type", ctypes.c_uint32),
@@ -88,7 +111,7 @@ class _v4l2_buffer(ctypes.Structure):
         ("flags", ctypes.c_uint32),
         ("field", ctypes.c_uint32),
         ("timestamp", ctypes.c_uint64 * 2),
-        ("timecode", ctypes.c_uint32 * 8),
+        ("timecode", _v4l2_timecode),
         ("sequence", ctypes.c_uint32),
         ("memory", ctypes.c_uint32),
         ("m", _m),
@@ -96,6 +119,11 @@ class _v4l2_buffer(ctypes.Structure):
         ("reserved2", ctypes.c_uint32),
         ("request_fd", ctypes.c_int32),
     ]
+
+
+assert ctypes.sizeof(_v4l2_format) == 208, ctypes.sizeof(_v4l2_format)
+assert ctypes.sizeof(_v4l2_buffer) == 88, ctypes.sizeof(_v4l2_buffer)
+assert ctypes.sizeof(_v4l2_requestbuffers) == 20
 
 
 class _Camera:

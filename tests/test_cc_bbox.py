@@ -67,3 +67,32 @@ def test_component_sizes_propagated_readback():
                         max_diff=16, connectivity=4)
     )
     np.testing.assert_array_equal(plain, prop)
+
+
+def test_component_sizes_readback_connectivity8():
+    # a diagonal-only-connected component: without the diagonal hop in the
+    # read-back, the off-diagonal pixels keep the _BIG sentinel
+    v = np.zeros((8, 8), np.int32)
+    active = np.zeros((8, 8), bool)
+    for i in range(5):
+        active[i, i] = True
+    active[6, 0] = True  # separate singleton
+    labels = connected_components_scan(jnp.asarray(v), jnp.asarray(active), 0, 8)
+    plain = np.asarray(component_sizes(labels, jnp.asarray(active)))
+    prop = np.asarray(
+        component_sizes(labels, jnp.asarray(active), values=jnp.asarray(v),
+                        max_diff=0, connectivity=8)
+    )
+    np.testing.assert_array_equal(plain, prop)
+    assert prop[2, 2] == 5 and prop[6, 0] == 1
+
+    rng = np.random.default_rng(7)
+    vr = (rng.integers(0, 3, (32, 48)) * 16).astype(np.int32)
+    ar = rng.random((32, 48)) < 0.4
+    labels = connected_components_scan(jnp.asarray(vr), jnp.asarray(ar), 16, 8)
+    plain = np.asarray(component_sizes(labels, jnp.asarray(ar)))
+    prop = np.asarray(
+        component_sizes(labels, jnp.asarray(ar), values=jnp.asarray(vr),
+                        max_diff=16, connectivity=8)
+    )
+    np.testing.assert_array_equal(plain, prop)

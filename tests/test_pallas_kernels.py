@@ -1,0 +1,79 @@
+"""Pallas production kernels vs the XLA reference path (interpret mode).
+
+The TPU deployment runs the Pallas streaming kernels (ops/pallas/*); on CPU
+they execute in interpreter mode when backend="pallas" is forced. These tests
+pin bit-exactness of the full matcher outputs (BM and SGM, 4 and 8 paths)
+against backend="xla" at Pallas-compatible shapes, so a kernel regression
+fails in CI instead of only in the manual on-TPU verify step.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rt_depth_map_tpu.config import MatcherConfig
+from rt_depth_map_tpu.ops.bm import stereo_bm
+from rt_depth_map_tpu.ops.sgbm import stereo_sgbm
+
+
+def stereo_pair(seed, H, W, shift):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(H, W + 64), dtype=np.uint8)
+    k = np.ones(5) / 5.0
+    base = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, base)
+    base = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, base)
+    base = base.astype(np.uint8)
+    return base[:, :W].copy(), base[:, shift : shift + W].copy()
+
+
+@pytest.mark.parametrize("full_checks", [False, True])
+def test_bm_pallas_matches_xla(full_checks):
+    left, right = stereo_pair(11, 16, 256, 7)
+    kw = dict(
+        kind="bm", num_disparities=16, block_size=9, pre_filter_cap=31,
+        texture_threshold=10 if full_checks else 0,
+        uniqueness_ratio=10 if full_checks else 0,
+        speckle_window_size=50 if full_checks else 0,
+        speckle_range=32,
+        disp12_max_diff=1 if full_checks else -1,
+    )
+    ref = stereo_bm(jnp.asarray(left), jnp.asarray(right),
+                    MatcherConfig(backend="xla", **kw))
+    got = stereo_bm(jnp.asarray(left), jnp.asarray(right),
+                    MatcherConfig(backend="pallas", **kw))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("paths", [4, 8])
+def test_sgm_pallas_matches_xla(paths):
+    # Pallas SGM path wants D % 128 == 0, (W - D) % 128 == 0, H % 8 == 0,
+    # H >= 16 -- the smallest such operating point
+    left, right = stereo_pair(12, 16, 256, 9)
+    kw = dict(
+        kind="sgm", num_disparities=128, block_size=5, pre_filter_cap=63,
+        p1=600, p2=2400, num_paths=paths, uniqueness_ratio=10,
+        speckle_window_size=50, speckle_range=32, disp12_max_diff=1,
+    )
+    ref = stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
+                      MatcherConfig(backend="xla", **kw))
+    got = stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
+                      MatcherConfig(backend="pallas", **kw))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sgm_pallas_int16_streaming_path():
+    # block_size=5 keeps 5 * bs^2 * pix_max <= 32767 -> int16 volume I/O;
+    # block_size=11 forces int32. Both must match the XLA reference.
+    left, right = stereo_pair(13, 16, 256, 5)
+    for bs, H in ((5, 16), (11, 16)):
+        kw = dict(
+            kind="sgm", num_disparities=128, block_size=bs,
+            pre_filter_cap=63, p1=8 * bs * bs, p2=32 * bs * bs, num_paths=8,
+            uniqueness_ratio=10, speckle_window_size=0, disp12_max_diff=-1,
+        )
+        ref = stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
+                          MatcherConfig(backend="xla", **kw))
+        got = stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
+                          MatcherConfig(backend="pallas", **kw))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
