@@ -65,21 +65,29 @@ def _box_filter_2d(x: jnp.ndarray, size: int) -> jnp.ndarray:
 def _cost_volume(lp: jnp.ndarray, rp: jnp.ndarray, num_disp: int, min_disp: int,
                  block_size: int) -> jnp.ndarray:
     """(D, H, W) windowed SAD of prefiltered images; invalid columns get a
-    huge cost so they never win WTA."""
+    huge cost so they never win WTA.
+
+    A `fori_loop` over d with dynamic slices of the once-padded right image
+    (not a D-unrolled plane stack: 128 unrolled (H, W) subgraphs made the
+    flagship program's XLA compile take minutes)."""
     H, W = lp.shape
     lp32 = lp.astype(jnp.int32)
     rp32 = rp.astype(jnp.int32)
-    planes = []
-    for i in range(num_disp):
-        d = min_disp + i
-        if d >= 0:
-            ad = jnp.abs(lp32[:, d:] - rp32[:, : W - d]) if d else jnp.abs(lp32 - rp32)
-            ad = jnp.pad(ad, ((0, 0), (d, 0)))
-        else:
-            ad = jnp.abs(lp32[:, : W + d] - rp32[:, -d:])
-            ad = jnp.pad(ad, ((0, 0), (0, -d)))
-        planes.append(ad)
-    vol = jnp.stack(planes, axis=0)  # (D, H, W)
+    M = num_disp + abs(min_disp) + 1
+    rp_pad = jnp.pad(rp32, ((0, 0), (M, M)))
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    def body(i, vol):
+        dd = min_disp + i
+        # r[:, x] = rp[:, x - dd] (zero outside)
+        r = jax.lax.dynamic_slice(rp_pad, (0, M - dd), (H, W))
+        inb = (xs - dd >= 0) & (xs - dd < W)
+        ad = jnp.where(inb, jnp.abs(lp32 - r), 0)
+        return jax.lax.dynamic_update_slice(vol, ad[None], (i, 0, 0))
+
+    vol = jax.lax.fori_loop(
+        0, num_disp, body, jnp.zeros((num_disp, H, W), jnp.int32)
+    )
     return _box_filter_2d(vol, block_size)
 
 
@@ -119,27 +127,41 @@ def _lr_check(disp: jnp.ndarray, cost: jnp.ndarray, min_disp: int,
     Dpow = 1 << 13
     off = 1 << 11
     BIG = jnp.iinfo(jnp.int32).max
+    SENT = jnp.iinfo(jnp.int32).min
     key = cost * Dpow + (d32 + off)
     key = jnp.where(in_range, key, BIG)
 
+    # Both shift-reduces run as fori_loops over the candidate disparities
+    # with dynamic slices of once-padded planes (a D-unrolled loop here cost
+    # the flagship program minutes of XLA compile time).
+    M = num_disp + abs(min_disp) + 1
+    d_int_pad = jnp.pad(d_int, ((0, 0), (M, M)), constant_values=SENT)
+    key_pad = jnp.pad(key, ((0, 0), (M, M)), constant_values=BIG)
+
     # winner per right pixel: min over candidate integer disparities
-    best_key = jnp.full((H, W), BIG, jnp.int32)
-    for dd in range(min_disp, min_disp + num_disp + 1):
-        cand = jnp.where(
-            _shift_cols_i32(d_int, dd, jnp.iinfo(jnp.int32).min) == dd,
-            _shift_cols_i32(key, dd, BIG),
-            BIG,
-        )
-        best_key = jnp.minimum(best_key, cand)
+    def win_body(i, best):
+        dd = min_disp + i
+        ds = jax.lax.dynamic_slice(d_int_pad, (0, M + dd), (H, W))
+        ks = jax.lax.dynamic_slice(key_pad, (0, M + dd), (H, W))
+        return jnp.minimum(best, jnp.where(ds == dd, ks, BIG))
+
+    best_key = jax.lax.fori_loop(
+        0, num_disp + 1, win_body, jnp.full((H, W), BIG, jnp.int32)
+    )
     has_winner = best_key != BIG
     disp2 = jnp.where(has_winner, best_key % Dpow - off, invalid)
 
     # disp2 read back at each left pixel's own x2: another shift-reduce
-    disp2_at = jnp.full((H, W), invalid, jnp.int32)
-    for dd in range(min_disp, min_disp + num_disp + 1):
-        disp2_at = jnp.where(
-            d_int == dd, _shift_cols_i32(disp2, -dd, invalid), disp2_at
-        )
+    disp2_pad = jnp.pad(disp2, ((0, 0), (M, M)), constant_values=invalid)
+
+    def rb_body(i, acc):
+        dd = min_disp + i
+        sh = jax.lax.dynamic_slice(disp2_pad, (0, M - dd), (H, W))
+        return jnp.where(d_int == dd, sh, acc)
+
+    disp2_at = jax.lax.fori_loop(
+        0, num_disp + 1, rb_body, jnp.full((H, W), invalid, jnp.int32)
+    )
     disp2_at = jnp.where(in_range, disp2_at, invalid)
     bad = ok & in_range & (jnp.abs(disp2_at - d32) > max_diff * DISP_SCALE)
     # out-of-range projections: cv2 leaves them untouched

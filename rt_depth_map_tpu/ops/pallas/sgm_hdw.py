@@ -232,6 +232,116 @@ def _final_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm, uniq_hbm,
         d.wait()
 
 
+def _sgm_step_hd(C_slab, Lp, p1, p2):
+    """(H, D) recurrence step; D on lanes (the transposed-slab layout the
+    horizontal passes stream)."""
+    H, D = Lp.shape
+    minLp = jnp.min(Lp, axis=1, keepdims=True)
+    lm = jnp.concatenate(
+        [jnp.full((H, 1), MAX_COST, jnp.int32), Lp[:, :-1]], axis=1
+    )
+    lp_ = jnp.concatenate(
+        [Lp[:, 1:], jnp.full((H, 1), MAX_COST, jnp.int32)], axis=1
+    )
+    delta = minLp + p2
+    m = jnp.minimum(jnp.minimum(Lp, lm + p1), jnp.minimum(lp_ + p1, delta))
+    return C_slab + m - delta
+
+
+def _horiz_kernel(Ct_hbm, Sp_hbm, out_hbm, carry, crow, sprow, outb,
+                  in_sems, sp_sems, out_sems, *, W1, H, D, p1, p2,
+                  reverse, with_partial, io_dtype):
+    def x_of(i):
+        return (W1 - 1 - i) if reverse else i
+
+    def c_dma(slot, i):
+        return pltpu.make_async_copy(Ct_hbm.at[x_of(i)], crow.at[slot],
+                                     in_sems.at[slot])
+
+    def sp_dma(slot, i):
+        return pltpu.make_async_copy(Sp_hbm.at[x_of(i)], sprow.at[slot],
+                                     sp_sems.at[slot])
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(outb.at[slot], out_hbm.at[x_of(i)],
+                                     out_sems.at[slot])
+
+    carry[...] = jnp.zeros((H, D), jnp.int32)
+    c_dma(0, 0).start()
+    if with_partial:
+        sp_dma(0, 0).start()
+
+    def body(i, _):
+        slot = i % 2
+
+        @pl.when(i + 1 < W1)
+        def _():
+            c_dma(1 - slot, i + 1).start()
+            if with_partial:
+                sp_dma(1 - slot, i + 1).start()
+
+        c_dma(slot, i).wait()
+        if with_partial:
+            sp_dma(slot, i).wait()
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, i - 2).wait()
+
+        L = _sgm_step_hd(crow[slot].astype(jnp.int32), carry[...], p1, p2)
+        carry[...] = L
+        acc = L
+        if with_partial:
+            acc = acc + sprow[slot].astype(jnp.int32)
+        outb[slot] = acc.astype(io_dtype)
+        out_dma(slot, i).start()
+        return 0
+
+    jax.lax.fori_loop(0, W1, body, 0)
+    out_dma((W1 - 2) % 2, W1 - 2).wait()
+    out_dma((W1 - 1) % 2, W1 - 1).wait()
+
+
+def sgm_horiz_pass_hdw(Ct, p1, p2, reverse=False, partial=None,
+                       interpret=False):
+    """One horizontal SGM direction over the x-major volume Ct (W1, H, D):
+    left-to-right (reverse=False) or right-to-left (reverse=True), plus
+    `partial` when given (the other direction's result, so one launch
+    finishes the 2-direction horizontal sum Sh).
+
+    The whole x recurrence runs inside ONE kernel launch with the (H, D)
+    carry resident in VMEM -- the lax.scan formulation paid per-step
+    dispatch overhead over W1 steps (~15ms/frame at 720p). Bit-identical to
+    scanning ops/sgbm.py `_sgm_step` over x."""
+    W1, H, D = Ct.shape
+    p2 = max(p2, p1 + 1)
+    with_partial = partial is not None
+    io_dtype = Ct.dtype
+    kernel = functools.partial(
+        _horiz_kernel, W1=W1, H=H, D=D, p1=p1, p2=p2, reverse=reverse,
+        with_partial=with_partial, io_dtype=io_dtype,
+    )
+    args = (Ct, partial) if with_partial else (Ct, Ct)  # dummy 2nd when unused
+    scratch = [
+        pltpu.VMEM((H, D), jnp.int32),
+        pltpu.VMEM((2, H, D), io_dtype),
+        pltpu.VMEM((2, H, D), io_dtype),
+        pltpu.VMEM((2, H, D), io_dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((W1, H, D), io_dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*args)
+
+
 def sgm_down_pass_hdw(C, p1, p2, partial=None, interpret=False):
     """Top-down 3-direction aggregation over (H, D, W1) cost, plus
     `partial` when given. I/O dtype follows C (int16 halves the DMA; the

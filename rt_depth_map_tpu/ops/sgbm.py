@@ -78,24 +78,36 @@ def _halfpix(p: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _bt_cost_plane(pl: jnp.ndarray, pr: jnp.ndarray, min_disp: int,
                    num_disp: int) -> jnp.ndarray:
-    """Sampling-insensitive BT cost, (H, W, D) int32 (golden `_bt_cost_plane`)."""
+    """Sampling-insensitive BT cost, (H, W, D) int32 (golden `_bt_cost_plane`).
+
+    fori_loop over d with dynamic slices of the once-padded right-image
+    planes (the D-unrolled plane stack made XLA compiles take minutes)."""
     H, W = pl.shape
     u0, u1 = _halfpix(pl)
     v0, v1 = _halfpix(pr)
-    planes = []
-    for i in range(num_disp):
-        d = min_disp + i
-        if d >= 0:
-            sl, sr = (slice(d, W), slice(0, W - d)) if d else (slice(None), slice(None))
-            pad = ((0, 0), (d, 0))
-        else:
-            sl, sr, pad = slice(0, W + d), slice(-d, W), ((0, 0), (0, -d))
-        u = pl[:, sl]
-        c0 = jnp.maximum(0, jnp.maximum(u - v1[:, sr], v0[:, sr] - u))
-        v = pr[:, sr]
-        c1 = jnp.maximum(0, jnp.maximum(v - u1[:, sl], u0[:, sl] - v))
-        planes.append(jnp.pad(jnp.minimum(c0, c1), pad))
-    return jnp.stack(planes, axis=-1)
+    M = num_disp + abs(min_disp) + 1
+    padc = ((0, 0), (M, M))
+    pr_pad = jnp.pad(pr, padc)
+    v0_pad = jnp.pad(v0, padc)
+    v1_pad = jnp.pad(v1, padc)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    def body(i, vol):
+        dd = min_disp + i
+        # right-image planes sampled at x - dd (zero outside the image)
+        start = (0, M - dd)
+        v = jax.lax.dynamic_slice(pr_pad, start, (H, W))
+        vv0 = jax.lax.dynamic_slice(v0_pad, start, (H, W))
+        vv1 = jax.lax.dynamic_slice(v1_pad, start, (H, W))
+        c0 = jnp.maximum(0, jnp.maximum(pl - vv1, vv0 - pl))
+        c1 = jnp.maximum(0, jnp.maximum(v - u1, u0 - v))
+        inb = (xs - dd >= 0) & (xs - dd < W)
+        c = jnp.where(inb, jnp.minimum(c0, c1), 0)
+        return jax.lax.dynamic_update_slice(vol, c[..., None], (0, 0, i))
+
+    return jax.lax.fori_loop(
+        0, num_disp, body, jnp.zeros((H, W, num_disp), jnp.int32)
+    )
 
 
 def sgbm_cost_volume(
@@ -262,9 +274,9 @@ def _lr_check_sgbm(
     # first update order AND carries the winner's disparity in the key.
     # minS < 8 paths * win^2 * 236 < 2^23; Dpow = 256. The winner per right
     # pixel and the read-backs are shift-reduces over the D candidate
-    # integer disparities -- no scatter, no gather (ops/bm.py _lr_check).
-    from rt_depth_map_tpu.ops.bm import _shift_cols_i32
-
+    # integer disparities -- no scatter, no gather (ops/bm.py _lr_check) --
+    # run as fori_loops over dynamic slices of once-padded planes (the
+    # D-unrolled form cost the flagship program minutes of XLA compile).
     Dpow = 256  # best in [0, D), D <= 255 at any supported operating point
     BIGKEY = jnp.iinfo(jnp.int32).max
     SENT = jnp.iinfo(jnp.int32).min
@@ -276,14 +288,19 @@ def _lr_check_sgbm(
     d_intW = jnp.full((H, W), SENT, jnp.int32)
     d_intW = jax.lax.dynamic_update_slice(d_intW, d_int, (0, minX1))
 
-    best_key = jnp.full((H, W), BIGKEY, jnp.int32)
-    for dd in range(min_disp, min_disp + num_disp):
-        cand = jnp.where(
-            _shift_cols_i32(d_intW, dd, SENT) == dd,
-            _shift_cols_i32(keyW, dd, BIGKEY),
-            BIGKEY,
-        )
-        best_key = jnp.minimum(best_key, cand)
+    M = num_disp + abs(min_disp) + 2
+    d_intW_pad = jnp.pad(d_intW, ((0, 0), (M, M)), constant_values=SENT)
+    keyW_pad = jnp.pad(keyW, ((0, 0), (M, M)), constant_values=BIGKEY)
+
+    def win_body(i, acc):
+        dd = min_disp + i
+        ds = jax.lax.dynamic_slice(d_intW_pad, (0, M + dd), (H, W))
+        ks = jax.lax.dynamic_slice(keyW_pad, (0, M + dd), (H, W))
+        return jnp.minimum(acc, jnp.where(ds == dd, ks, BIGKEY))
+
+    best_key = jax.lax.fori_loop(
+        0, num_disp, win_body, jnp.full((H, W), BIGKEY, jnp.int32)
+    )
     has = best_key != BIGKEY
     disp2 = jnp.where(has, best_key % Dpow + min_disp, INVALID)
 
@@ -299,12 +316,19 @@ def _lr_check_sgbm(
     _x = xsW - _d
     x_ = xsW - d_
 
-    d2a = jnp.full((H, W), INVALID, jnp.int32)
-    d2b = jnp.full((H, W), INVALID, jnp.int32)
-    for dd in range(min_disp - 1, min_disp + num_disp + 1):
-        sh = _shift_cols_i32(disp2, -dd, INVALID)
-        d2a = jnp.where(_d == dd, sh, d2a)
-        d2b = jnp.where(d_ == dd, sh, d2b)
+    disp2_pad = jnp.pad(disp2, ((0, 0), (M, M)), constant_values=INVALID)
+
+    def rb_body(i, acc):
+        dd = min_disp - 1 + i
+        sh = jax.lax.dynamic_slice(disp2_pad, (0, M - dd), (H, W))
+        a, b = acc
+        return jnp.where(_d == dd, sh, a), jnp.where(d_ == dd, sh, b)
+
+    d2a, d2b = jax.lax.fori_loop(
+        0, num_disp + 2, rb_body,
+        (jnp.full((H, W), INVALID, jnp.int32),
+         jnp.full((H, W), INVALID, jnp.int32)),
+    )
     oka = (_x >= 0) & (_x < W)
     okb = (x_ >= 0) & (x_ < W)
     d2a = jnp.where(oka, d2a, INVALID)
@@ -350,6 +374,7 @@ def stereo_sgbm(
         from rt_depth_map_tpu.ops.pallas.sgm_hdw import (
             sgm_down_pass_hdw,
             sgm_final_wta_hdw,
+            sgm_horiz_pass_hdw,
         )
 
         interp = jax.default_backend() == "cpu"
@@ -369,20 +394,15 @@ def stereo_sgbm(
             left, right, D, cfg.block_size, cfg.pre_filter_cap,
             layout="hdw", dtype=vol_dtype, interpret=interp,
         )
-        # horizontal scans over x with an (H, D) column carry
+        # horizontal passes: single-launch Pallas scans over x with the
+        # (H, D) carry resident in VMEM (lax.scan paid ~15ms/frame of
+        # per-step dispatch at 720p)
         Ct = jnp.transpose(C_hdw, (2, 0, 1))  # (W1, H, D)
-
-        def steph(Lp, Ccol):
-            L = _sgm_step(Ccol.astype(jnp.int32), Lp, p1, p2)
-            return L, L.astype(vol_dtype)
-
-        z = jnp.zeros((H, D), jnp.int32)
-        _, hf = jax.lax.scan(steph, z, Ct)
+        hf = sgm_horiz_pass_hdw(Ct, p1, p2, reverse=False, interpret=interp)
         if cfg.num_paths >= 8:
-            _, hb = jax.lax.scan(steph, z, Ct[::-1])
-            Sh = jnp.transpose(hf, (1, 2, 0)) + jnp.transpose(
-                hb[::-1], (1, 2, 0)
-            )
+            Sh_t = sgm_horiz_pass_hdw(Ct, p1, p2, reverse=True, partial=hf,
+                                      interpret=interp)
+            Sh = jnp.transpose(Sh_t, (1, 2, 0))
             Sa = sgm_down_pass_hdw(C_hdw, p1, p2, partial=Sh,
                                    interpret=interp)
             best, minS, dval, uniq = sgm_final_wta_hdw(

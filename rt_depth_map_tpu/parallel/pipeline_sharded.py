@@ -41,6 +41,7 @@ from rt_depth_map_tpu.ops.reproject import (
     reproject_to_3d,
 )
 from rt_depth_map_tpu.parallel.tiled_bm import bm_tile_program
+from rt_depth_map_tpu.parallel.tiled_sgbm import sgbm_tile_program
 
 MORPH_DX = MORPH_DY = 10
 
@@ -75,8 +76,18 @@ def make_sharded_step(
 
     data_sharding = NamedSharding(mesh, P("data", None, None, None))
 
-    def matcher_tiles(lp, rp):  # (B, H, W) prefiltered, space-sharded inside
+    def matcher_tiles(lp, rp):
+        """(B, H, W) inputs, space-sharded inside: prefiltered planes for
+        BM, raw rectified gray for SGM (stereo_sgbm does its own BT
+        preprocessing per tile). The matcher slot is swappable exactly like
+        the reference's BlockMatcher wiring (stereo-matcher.h:13-19,
+        main.cpp:128-136): cfg.matcher.kind selects the tile program."""
+
         def local(lp_loc, rp_loc):  # (Bloc, H, Wloc)
+            if mcfg.kind == "sgm":
+                return jax.vmap(
+                    lambda a, b: sgbm_tile_program(a, b, mcfg, W, "space")
+                )(lp_loc, rp_loc)
             return jax.vmap(
                 lambda a, b: bm_tile_program(a, b, mcfg, W, "space")
             )(lp_loc, rp_loc)
@@ -105,12 +116,22 @@ def make_sharded_step(
         rg = rgb_to_gray(right_rgb)
         rgbr = left_rgb
         if grid is not None:
-            lg = jax.vmap(lambda x: remap_bilinear(x, grid))(lg)
+            # left gray + RGB share one map -> one packed 4-channel gather
+            # (same trick as pipeline/engine.py frame_fn)
+            lstack = jnp.concatenate([lg[..., None], left_rgb], axis=-1)
+            l4 = jax.vmap(lambda x: remap_bilinear(x, grid))(lstack)
+            lg, rgbr = l4[..., 0], l4[..., 1:]
             rg = jax.vmap(lambda x: remap_bilinear(x, grid))(rg)
-            rgbr = jax.vmap(lambda x: remap_bilinear(x, grid))(left_rgb)
-        lp = jax.vmap(lambda x: xsobel_prefilter(x, mcfg.pre_filter_cap))(lg)
-        rp = jax.vmap(lambda x: xsobel_prefilter(x, mcfg.pre_filter_cap))(rg)
-        disp = matcher_tiles(lp, rp)
+        if mcfg.kind == "sgm":
+            disp = matcher_tiles(lg, rg)
+        else:
+            lp = jax.vmap(
+                lambda x: xsobel_prefilter(x, mcfg.pre_filter_cap)
+            )(lg)
+            rp = jax.vmap(
+                lambda x: xsobel_prefilter(x, mcfg.pre_filter_cap)
+            )(rg)
+            disp = matcher_tiles(lp, rp)
         boxes, depth_cm, mean_z, count, filt = jax.vmap(per_frame_tail)(
             rgbr, disp
         )

@@ -57,14 +57,20 @@ def _tile_cost_volume(lp_ext, rp_ext, num_disp, min_disp, bs, max_d):
     x = x0 - max_d - w2 + k, so disparity d pairs lp_ext[:, k] with
     rp_ext[:, k + max_d - d] -- a contiguous slice per d.
     """
-    We = lp_ext.shape[1]
+    H, We = lp_ext.shape
     lp32 = lp_ext.astype(jnp.int32)
     rp32 = rp_ext.astype(jnp.int32)
-    planes = []
-    for i in range(num_disp):
+
+    def body(i, vol):
         d = min_disp + i
-        planes.append(jnp.abs(lp32 - rp32[:, max_d - d : max_d - d + We]))
-    vol = jnp.stack(planes, axis=0)
+        r = jax.lax.dynamic_slice(rp32, (0, max_d - d), (H, We))
+        return jax.lax.dynamic_update_slice(
+            vol, jnp.abs(lp32 - r)[None], (i, 0, 0)
+        )
+
+    vol = jax.lax.fori_loop(
+        0, num_disp, body, jnp.zeros((num_disp, H, We), jnp.int32)
+    )
     return _box_filter_2d(vol, bs)
 
 

@@ -167,19 +167,18 @@ class Engine:
         self._step = jax.jit(frame_fn)
         self._step_batch = None
         if cfg.batch > 1:
-            # Multi-stream batching: B pairs per device dispatch. Unrolled
-            # (not vmapped) so the Pallas matcher kernels -- which have no
-            # batching rule for ANY-memory-space operands -- stay usable;
-            # XLA schedules the B independent subgraphs together.
-            B = cfg.batch
-
+            # Multi-stream batching: B pairs per device dispatch, as a
+            # `lax.map` (compile once, loop on device) rather than vmap --
+            # the Pallas matcher kernels have no batching rule for
+            # ANY-memory-space operands -- or a B-unrolled graph, whose
+            # compile time scaled linearly with B. One chip executes the B
+            # frame programs serially either way, so throughput matches the
+            # unrolled form at 1/B of its compile cost.
             def batch_fn(lefts, rights, hsv_low, hsv_high, min_size):
-                outs = [
-                    frame_fn(lefts[i], rights[i], hsv_low, hsv_high, min_size)
-                    for i in range(B)
-                ]
-                return jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *outs
+                return jax.lax.map(
+                    lambda lr: frame_fn(lr[0], lr[1], hsv_low, hsv_high,
+                                        min_size),
+                    (lefts, rights),
                 )
 
             self._step_batch = jax.jit(batch_fn)
@@ -198,10 +197,15 @@ class Engine:
         def frame_fn(left_rgb, right_rgb, hsv_low, hsv_high, min_size):
             lg = rgb_to_gray(left_rgb)
             rg = rgb_to_gray(right_rgb)
-            # rectify + ROI crop (estimator.cpp:32-38)
-            lrect = remap_bilinear(lg, grid_l)[ry : ry + rh, rx : rx + rw]
+            # rectify + ROI crop (estimator.cpp:32-38). The left gray and
+            # left RGB remaps share one map, so they ride ONE gather as a
+            # packed 4-channel image (gathers dominate remap cost on TPU;
+            # per-channel results are bit-identical to separate remaps).
+            lstack = jnp.concatenate([lg[..., None], left_rgb], axis=-1)
+            lrect4 = remap_bilinear(lstack, grid_l)[ry : ry + rh, rx : rx + rw]
+            lrect = lrect4[..., 0]
+            rgbr = lrect4[..., 1:]
             rrect = remap_bilinear(rg, grid_r)[ry : ry + rh, rx : rx + rw]
-            rgbr = remap_bilinear(left_rgb, grid_l)[ry : ry + rh, rx : rx + rw]
 
             # detection path (estimator.cpp:41-56)
             hsv = rgb_to_hsv(rgbr)
@@ -346,6 +350,29 @@ class Engine:
         """One iteration of the frame loop (estimator.cpp:18-82)."""
         st = self.stats
         st.start_iteration()
+        pair = self._grab_decode()
+        if pair is None:
+            return None  # nothing decoded yet at all
+        with st.measure("h2d+device+d2h"):
+            result = self.process_pair(*pair)
+        self._frames_done += 1
+        return result
+
+    def _dispatch(self, left: np.ndarray, right: np.ndarray):
+        """Enqueue the device program for one decoded pair WITHOUT waiting
+        (JAX dispatch is async); returns the device-array output tree."""
+        return self._step(
+            jnp.asarray(left),
+            jnp.asarray(right),
+            jnp.asarray(self.hsv_low),
+            jnp.asarray(self.hsv_high),
+            jnp.int32(self.min_object_size),
+        )
+
+    def _grab_decode(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """One grab+decode with the stale-frame/health bookkeeping of
+        step(); returns the decoded pair or None when nothing decoded yet."""
+        st = self.stats
         with st.measure("grabOneFrame"):
             lf, rf = self.source.grab()
         with st.measure("decode"):
@@ -365,21 +392,29 @@ class Engine:
         else:
             self._consecutive_failures = 0
         if left is None or right is None:
-            return None  # nothing decoded yet at all
+            return None
         self._last = (left, right)
-        with st.measure("h2d+device+d2h"):
-            result = self.process_pair(left, right)
-        self._frames_done += 1
-        return result
+        return left, right
 
     def run(
         self,
         frames: Optional[int] = None,
         on_frame: Optional[Callable[[int, FrameResult], None]] = None,
         print_stats_on_sigint: bool = True,
+        pipeline_depth: int = 2,
     ) -> int:
         """Blocking frame loop; frames=None runs until SIGINT (while(1)
-        parity). Returns the number of frames processed."""
+        parity). Returns the number of frames processed.
+
+        The loop is PIPELINED (SURVEY.md section 2.10 PP row): frame N+1 is
+        grabbed/decoded/dispatched while frame N still executes on device --
+        the TPU analog of the reference's device-owned buffers + fire-and-
+        forget accelerator start (estimator.cpp:141-142,
+        generic-hw-filter-ip.cpp:126-136). `pipeline_depth` bounds the
+        in-flight device programs; results are only pulled to host when a
+        consumer exists (`on_frame`), otherwise a small per-frame field is
+        fetched every few frames as backpressure so the dispatch queue
+        cannot run unboundedly ahead."""
         stop = {"flag": False}
 
         def handler(signum, frame):
@@ -395,15 +430,39 @@ class Engine:
             except ValueError:
                 old = None  # non-main thread
 
+        from collections import deque
+
+        depth = max(1, pipeline_depth)
+        pending = deque()  # (index, device output tree)
+        sync_every = 8
+        st = self.stats
+
+        def retire(idx, out):
+            if on_frame is not None:
+                with st.measure("d2h"):
+                    host = jax.tree_util.tree_map(np.asarray, out)
+                on_frame(idx, FrameResult(**host))
+            elif idx % sync_every == 0:
+                # backpressure only: one tiny field, not the frame
+                with st.measure("d2h"):
+                    np.asarray(out["count"])
+
         try:
             i = 0
             while frames is None or i < frames:
                 if stop["flag"]:
                     break
-                result = self.step()
-                if result is not None and on_frame is not None:
-                    on_frame(i, result)
+                st.start_iteration()
+                pair = self._grab_decode()
+                if pair is not None:
+                    with st.measure("dispatch"):
+                        pending.append((i, self._dispatch(*pair)))
+                    self._frames_done += 1
+                while len(pending) >= depth:
+                    retire(*pending.popleft())
                 i += 1
+            while pending:
+                retire(*pending.popleft())
             return i
         finally:
             if old is not None:
