@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print the per-stage timing table at exit")
     p.add_argument("--save-frames", default=None, metavar="DIR",
                    help="write disparity/depth visualizations per frame")
+    p.add_argument("--view", action="store_true",
+                   help="live depth/disparity windows (falls back to "
+                   "headless when no display; implied by --adjustable)")
     p.add_argument("--print-depth", action="store_true",
                    help="print per-object depth labels per frame")
     p.add_argument("--mjpeg", action="store_true",
@@ -145,6 +148,16 @@ def main(argv: Optional[list] = None) -> int:
                 os.path.join(args.save_frames, f"frame_{i:05d}.png"), result
             )
 
+    viewer = None
+    if args.view or args.adjustable:
+        # live "depth"/"disparity" windows + -a HSV trackbars
+        # (estimator.cpp:71-81,294-304); headless environments get None
+        from rt_depth_map_tpu.utils.viewer import make_viewer
+
+        viewer = make_viewer(engine, args.disparity_map, args.adjustable)
+        if viewer is None:
+            print("no display available; running headless", file=sys.stderr)
+
     def on_frame(i, result):
         if args.print_depth:
             labels = result.labels()
@@ -152,8 +165,13 @@ def main(argv: Optional[list] = None) -> int:
             print(f"frame {i}: {txt}")
         if saver is not None:
             saver(i, result)
+        if viewer is not None and not viewer.show(i, result):
+            return False  # ESC/window close stops Engine.run
 
-    n = engine.run(frames=args.frames, on_frame=on_frame)
+    consumer = on_frame if (args.print_depth or saver or viewer) else None
+    n = engine.run(frames=args.frames, on_frame=consumer)
+    if viewer is not None:
+        viewer.close()
     if args.stats:
         print(engine.stats.report(), file=sys.stderr)
     engine.close()

@@ -441,7 +441,8 @@ class Engine:
             if on_frame is not None:
                 with st.measure("d2h"):
                     host = jax.tree_util.tree_map(np.asarray, out)
-                on_frame(idx, FrameResult(**host))
+                if on_frame(idx, FrameResult(**host)) is False:
+                    stop["flag"] = True  # consumer requested stop (e.g. ESC)
             elif idx % sync_every == 0:
                 # backpressure only: one tiny field, not the frame
                 with st.measure("d2h"):
