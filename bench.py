@@ -2,7 +2,7 @@
 
 Operating point (BASELINE.md target): 1280x720, 128-disparity 8-path SGM,
 full detection/depth pipeline; target >= 60 fps/chip, so
-vs_baseline = fps / 60. Prints ONE JSON line.
+vs_baseline = fps / 60. Prints ONE JSON line (the flagship cell).
 
 Timing methodology: the dev harness reaches the TPU through the axon tunnel,
 where block_until_ready can return optimistically and every device->host
@@ -17,6 +17,9 @@ Env:
   BENCH_BATCH      frames per device dispatch (default 1; BASELINE multi-
                    stream point is 4)
   BENCH_FRAMES     timed frames (default 24)
+  BENCH_MATRIX=1   run the full matrix (BM/SGM x {320x240, 1280x720} x
+                   {b1, b4}), print one JSON line per cell, and write
+                   BENCH_MATRIX.json
 """
 
 import json
@@ -27,23 +30,14 @@ import time
 import numpy as np
 
 
-def main():
-    small = os.environ.get("BENCH_SMALL") == "1"
-    matcher_kind = os.environ.get("BENCH_MATCHER", "bm" if small else "sgm")
-    frames = int(os.environ.get("BENCH_FRAMES", "24"))
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-
+def run_cell(W, H, D, matcher_kind, batch, frames):
+    """One benchmark cell; returns the result dict."""
     import jax
     import jax.numpy as jnp
 
     from rt_depth_map_tpu.config import EngineConfig, MatcherConfig
     from rt_depth_map_tpu.pipeline import Engine
     from rt_depth_map_tpu.sources import SyntheticStereoSource
-
-    if small:
-        W, H, D = 320, 240, 64
-    else:
-        W, H, D = 1280, 720, 128
 
     if matcher_kind == "sgm":
         mcfg = MatcherConfig(
@@ -97,22 +91,49 @@ def main():
     fps = (n_disp * batch) / dt
 
     metric = f"fps_{W}x{H}_{matcher_kind}{D}" + (f"_b{batch}" if batch > 1 else "")
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 60.0, 4),
-                "extra": {
-                    "device": str(jax.devices()[0]),
-                    "compile_s": round(compile_s, 1),
-                    "frames": n_disp * batch,
-                    "batch": batch,
-                },
-            }
-        )
-    )
+    return {
+        "metric": metric,
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 60.0, 4),
+        "extra": {
+            "device": str(jax.devices()[0]),
+            "compile_s": round(compile_s, 1),
+            "frames": n_disp * batch,
+            "batch": batch,
+        },
+    }
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+    matcher_kind = os.environ.get("BENCH_MATCHER", "bm" if small else "sgm")
+    frames = int(os.environ.get("BENCH_FRAMES", "24"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+
+    if os.environ.get("BENCH_MATRIX") == "1":
+        cells = [
+            (320, 240, 64, "bm", 1),
+            (320, 240, 64, "sgm", 1),
+            (1280, 720, 128, "bm", 1),
+            (1280, 720, 128, "sgm", 1),
+            (1280, 720, 128, "bm", 4),
+            (1280, 720, 128, "sgm", 4),
+        ]
+        results = []
+        for W, H, D, kind, b in cells:
+            r = run_cell(W, H, D, kind, b, frames)
+            results.append(r)
+            print(json.dumps(r), flush=True)
+        with open("BENCH_MATRIX.json", "w") as f:
+            json.dump(results, f, indent=1)
+        return 0
+
+    if small:
+        W, H, D = 320, 240, 64
+    else:
+        W, H, D = 1280, 720, 128
+    print(json.dumps(run_cell(W, H, D, matcher_kind, batch, frames)))
     return 0
 
 

@@ -194,6 +194,13 @@ class Engine:
         Q = jnp.asarray(self.Q, jnp.float32)
         kernel = ellipse_kernel(MORPH_DX, MORPH_DY)
 
+        # Only the ROI rows/cols of the remap grids are ever consumed
+        # (estimator.cpp:32-38 remaps then crops); slicing the grids instead
+        # gathers ~2.4x fewer pixels at the 720p calibration ROI and is
+        # bit-identical to remap-then-crop.
+        grid_l_roi = grid_l[ry : ry + rh, rx : rx + rw]
+        grid_r_roi = grid_r[ry : ry + rh, rx : rx + rw]
+
         def frame_fn(left_rgb, right_rgb, hsv_low, hsv_high, min_size):
             lg = rgb_to_gray(left_rgb)
             rg = rgb_to_gray(right_rgb)
@@ -202,10 +209,10 @@ class Engine:
             # packed 4-channel image (gathers dominate remap cost on TPU;
             # per-channel results are bit-identical to separate remaps).
             lstack = jnp.concatenate([lg[..., None], left_rgb], axis=-1)
-            lrect4 = remap_bilinear(lstack, grid_l)[ry : ry + rh, rx : rx + rw]
+            lrect4 = remap_bilinear(lstack, grid_l_roi)
             lrect = lrect4[..., 0]
             rgbr = lrect4[..., 1:]
-            rrect = remap_bilinear(rg, grid_r)[ry : ry + rh, rx : rx + rw]
+            rrect = remap_bilinear(rg, grid_r_roi)
 
             # detection path (estimator.cpp:41-56)
             hsv = rgb_to_hsv(rgbr)
