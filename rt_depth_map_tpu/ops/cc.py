@@ -261,14 +261,28 @@ def component_sizes(
 ) -> jnp.ndarray:
     """(H, W) size of each pixel's component (0 for inactive pixels).
 
-    One scatter-add computes per-root totals (update-bound, ~9ms at 720p --
-    unavoidable: XLA scatter cost scales with updates, not bins); the
-    per-pixel read-back is NOT a second gather (~8ms) but a 2-3 sweep
-    min-propagation of the root values over the same component edges, when
-    `values`/`max_diff` describing those edges are provided."""
+    Per-root totals come from the MXU one-hot histogram kernel on TPU
+    (ops/pallas/histogram.py, ~2ms at 720p) or a scatter-add elsewhere
+    (update-bound, ~9ms at 720p on TPU: XLA scatter cost scales with
+    updates, not bins); the per-pixel read-back is NOT a second gather
+    (~8ms) but a 2-3 sweep min-propagation of the root values over the same
+    component edges, when `values`/`max_diff` describing those edges are
+    provided."""
     H, W = labels.shape
-    ones = active.astype(jnp.int32).reshape(-1)
-    sizes = jnp.zeros(H * W, jnp.int32).at[labels.reshape(-1)].add(ones)
+    use_mxu = (
+        jax.default_backend() not in ("cpu",) and H * W >= 128 * 128
+    )
+    if use_mxu:
+        from rt_depth_map_tpu.ops.pallas.histogram import (
+            label_histogram_pallas,
+        )
+
+        sizes2d = label_histogram_pallas(labels, active)
+        sizes = sizes2d.reshape(-1)
+    else:
+        ones = active.astype(jnp.int32).reshape(-1)
+        sizes = jnp.zeros(H * W, jnp.int32).at[labels.reshape(-1)].add(ones)
+        sizes2d = sizes.reshape(H, W)
     if values is None:
         return jnp.where(active, sizes[labels.reshape(-1)].reshape(H, W), 0)
 
@@ -278,7 +292,7 @@ def component_sizes(
         + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     )
     is_root = active & (labels == idx)
-    field = jnp.where(is_root, sizes.reshape(H, W), _BIG)
+    field = jnp.where(is_root, sizes2d, _BIG)
 
     v = values.astype(jnp.int32)
     md = jnp.asarray(max_diff, jnp.int32)

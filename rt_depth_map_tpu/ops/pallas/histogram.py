@@ -1,0 +1,120 @@
+"""Label histogram on the MXU: per-root component counts without scatter.
+
+`component_sizes` needs, for every connected-component root r (a linear
+pixel index), the number of active pixels whose label equals r, delivered
+AT the root's (row, col) position in an (H, W) image. XLA lowers the
+natural `zeros.at[labels].add(1)` to a serial per-update scatter (~10ns x
+H*W updates ~= 9-10ms at 720p -- scatter cost scales with updates, there
+is no TPU scatter unit).
+
+This kernel reformulates the histogram as one-hot matmuls, which the MXU
+eats: for a block of P pixels with label rows rho and label cols gamma,
+
+    A[r, c] += sum_p [rho_p == r] * [gamma_p == c]
+             = dot(UT, VT^T),  UT[r, p] = (rho_p == r), VT[c, p] = (gamma_p == c)
+
+Both one-hots are built lane-major (pixel index on lanes), so no in-kernel
+transposes; the contraction runs over the shared lane dim. Total work is
+H*W pixels x H*W bins = 850 GMAC at 720p -- ~2ms of int8 MXU vs ~10ms of
+scatter. Counts accumulate exactly (each block contributes <= P < 2^15 per
+bin into an i32/f32 accumulator; f32 totals stay < 2^24).
+
+Inactive pixels are excluded by setting rho = -1 (matches no row bin).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_P = 4096  # pixels per one-hot matmul (lane-dim of both one-hot factors)
+_KB = 4  # (_KB, _P) pixel superblocks per DMA
+
+
+def _kernel(rho_hbm, gam_hbm, A_ref, rbuf, gbuf, sems, *,
+            NB, H, W, dot_dtype, acc_dtype):
+    def in_dma(slot, b):
+        return [
+            pltpu.make_async_copy(rho_hbm.at[b], rbuf.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(gam_hbm.at[b], gbuf.at[slot],
+                                  sems.at[slot, 1]),
+        ]
+
+    A_ref[...] = jnp.zeros((H, W), acc_dtype)
+    for d in in_dma(0, 0):
+        d.start()
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (H, _P), 0)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (W, _P), 0)
+
+    def body(b, _):
+        slot = b % 2
+
+        @pl.when(b + 1 < NB)
+        def _():
+            for d in in_dma(1 - slot, b + 1):
+                d.start()
+
+        for d in in_dma(slot, b):
+            d.wait()
+
+        for k in range(_KB):
+            rho = rbuf[slot, k].reshape(1, _P)
+            gam = gbuf[slot, k].reshape(1, _P)
+            UT = (riota == rho).astype(dot_dtype)  # (H, P)
+            VT = (ciota == gam).astype(dot_dtype)  # (W, P)
+            A_ref[...] += jax.lax.dot_general(
+                UT, VT, (((1,), (1,)), ((), ())),
+                preferred_element_type=acc_dtype,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, NB, body, 0)
+
+
+def label_histogram_pallas(
+    labels: jnp.ndarray,
+    active: jnp.ndarray,
+    interpret: bool = False,
+    dot_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """(H, W) int32 image A with A[y, x] = #{active p : labels[p] == y*W+x}.
+
+    labels: (H, W) int32 linear-index labels (ops/cc.py contract).
+    """
+    H, W = labels.shape
+    N = H * W
+    rho = jnp.where(active, labels // W, -1)
+    gam = labels - (labels // W) * W
+    SB = _KB * _P
+    NB = -(-N // SB)
+    pad = NB * SB - N
+
+    def blk(x):
+        x = jnp.pad(x.reshape(-1), (0, pad), constant_values=-1)
+        return x.reshape(NB, _KB, _P)
+
+    acc_dtype = jnp.float32 if dot_dtype == jnp.bfloat16 else jnp.int32
+    kernel = functools.partial(
+        _kernel, NB=NB, H=H, W=W, dot_dtype=dot_dtype, acc_dtype=acc_dtype,
+    )
+    A = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, W), acc_dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, _KB, _P), jnp.int32),
+            pltpu.VMEM((2, _KB, _P), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(blk(rho), blk(gam))
+    # f32 accumulation is exact: every count <= H*W < 2^24
+    return A.astype(jnp.int32)

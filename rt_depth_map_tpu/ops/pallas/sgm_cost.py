@@ -28,9 +28,10 @@ from rt_depth_map_tpu.ops.sgbm import _halfpix, sgbm_preprocess
 
 
 def _kernel(planes_hbm, C_hbm, pin, obuf, in_sems, out_sems, *,
-            R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype):
+            R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype, n_chunks):
     w2 = bs // 2
     i = pl.program_id(0)
+    d_chunk = D // n_chunks  # disparities per output DMA
 
     in_dma = pltpu.make_async_copy(
         planes_hbm.at[:, pl.ds(i * R, Rh)], pin, in_sems
@@ -82,11 +83,17 @@ def _kernel(planes_hbm, C_hbm, pin, obuf, in_sems, out_sems, *,
         c1 = jnp.maximum(0, jnp.maximum(v - u1, u0 - v))
         return jnp.minimum(c0, c1)
 
-    def out_dma(slot, db):
+    def out_dma(chunk, prog):
+        # C_hbm is the (H, D//8, 8, W1) view of the (H, D, W1) volume (free
+        # reshape outside: the (8, W1) tile layout is identical); one DMA
+        # ships d_chunk disparities at once -- per-8-disparity DMAs were
+        # issue-bound (16 DMAs x ~2us x 90 stripes ~= 3ms/frame at 720p).
         return pltpu.make_async_copy(
-            obuf.at[slot],
-            C_hbm.at[pl.ds(i * R, R), pl.ds(db * 8, 8), :],
-            out_sems.at[slot],
+            obuf.at[chunk],
+            C_hbm.at[
+                pl.ds(prog * R, R), pl.ds(chunk * (d_chunk // 8), d_chunk // 8)
+            ],
+            out_sems.at[chunk],
         )
 
     # Disparity loop structure: a fori_loop over 8-disparity blocks (a fully
@@ -94,15 +101,21 @@ def _kernel(planes_hbm, C_hbm, pin, obuf, in_sems, out_sems, *,
     # dynamic lane roll per right-image plane per block; the 8 in-block
     # disparities are then static slices of the rolled planes, and the
     # in-block store index k is static (dynamic sublane store indices hang
-    # the compiler).
+    # the compiler). Results collect in obuf per d_chunk; the chunk's single
+    # DMA fires when its last block completes.
     n_blocks = D // 8
+    blocks_per_chunk = d_chunk // 8
+
+    # the scratch obuf persists across grid programs: don't overwrite a
+    # chunk before the previous program's DMA of it has landed
+    @pl.when(i > 0)
+    def _():
+        for c in range(n_chunks):
+            out_dma(c, i - 1).wait()
 
     def block(db, _):
-        slot = db % 2
-
-        @pl.when(db >= 2)
-        def _():
-            out_dma(slot, db - 2).wait()
+        chunk = db // blocks_per_chunk
+        dd = db % blocks_per_chunk
 
         # rolled[j] = P[j + minX1 - 8*db - 8] for j in [0, W1 + 8)
         shift = (Wp + 8 * db + 8 - minX1) % Wp
@@ -121,14 +134,22 @@ def _kernel(planes_hbm, C_hbm, pin, obuf, in_sems, out_sems, *,
             acc = h[0:R]
             for r in range(1, bs):
                 acc = acc + h[r : r + R]
-            obuf[slot, :, k, :] = acc.astype(out_dtype)
-        out_dma(slot, db).start()
+            # dims (chunk, row, d-block, k, lane): dd indexes a non-tiled
+            # dim (static k stays the sublane index)
+            obuf[chunk, :, dd, k, :] = acc.astype(out_dtype)
+
+        @pl.when(dd == blocks_per_chunk - 1)
+        def _():
+            out_dma(chunk, i).start()
+
         return 0
 
     jax.lax.fori_loop(0, n_blocks, block, 0)
-    if n_blocks >= 2:
-        out_dma((n_blocks - 2) % 2, n_blocks - 2).wait()
-    out_dma((n_blocks - 1) % 2, n_blocks - 1).wait()
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        for c in range(n_chunks):
+            out_dma(c, i).wait()
 
 
 def sgm_cost_volume_pallas(
@@ -153,9 +174,13 @@ def sgm_cost_volume_pallas(
     W1 = W - D
     bs = block_size
     w2 = bs // 2
-    R = 8
-    if W1 % 128 or H % R or D % 8:
+    if W1 % 128 or H % 8 or D % 8:
         raise ValueError(f"(H, W1, D) = ({H}, {W1}, {D}) must tile (8, 128, 8)")
+    # 16-row stripes amortize the vertical-window overlap recompute (the
+    # padded window rows are 24/16 of output vs 16/8 at R=8) and halve the
+    # stripe count; int32 volumes fall back to R=8 to keep obuf (the full
+    # stripe x D collect buffer) within ~5MB of VMEM.
+    R = 16 if (H % 16 == 0 and jnp.dtype(dtype).itemsize == 2) else 8
 
     ls, lraw = sgbm_preprocess(left, ftzero)
     rs, rraw = sgbm_preprocess(right, ftzero)
@@ -183,25 +208,31 @@ def sgm_cost_volume_pallas(
          (ls, lu0, lu1, lraw, lru0, lru1, rs, rv0, rv1, rraw, rrv0, rrv1)]
     )  # (12, H + pads, Wp)
 
+    n_chunks = 2 if (D // 8) % 2 == 0 else 1
     kernel = functools.partial(
         _kernel, R=R, W1=W1, Wp=Wp, D=D, minX1=minX1, min_disp=0, bs=bs,
-        Rh=Rh_pad, out_dtype=dtype,
+        Rh=Rh_pad, out_dtype=dtype, n_chunks=n_chunks,
     )
-    C_hdw = pl.pallas_call(
+    C4 = pl.pallas_call(
         kernel,
         grid=(H // R,),
-        out_shape=jax.ShapeDtypeStruct((H, D, W1), dtype),
+        out_shape=jax.ShapeDtypeStruct((H, D // 8, 8, W1), dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((12, Rh_pad, Wp), jnp.int32),
-            pltpu.VMEM((2, R, 8, W1), dtype),
+            pltpu.VMEM(
+                (n_chunks, R, D // 8 // n_chunks, 8, W1), dtype
+            ),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((n_chunks,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(planes)
+    # (H, D//8, 8, W1) -> (H, D, W1) merges two contiguous dims whose (8,
+    # W1) tile layout is unchanged: free
+    C_hdw = C4.reshape(H, D, W1)
     if layout == "hdw":
         return C_hdw, minX1, W1
     C = jnp.transpose(C_hdw, (0, 2, 1))

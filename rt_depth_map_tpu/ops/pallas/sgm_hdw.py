@@ -65,17 +65,26 @@ def _three_dirs(C_slab, c0, c1, c2, p1, p2):
 
 def _down_kernel(C_hbm, Sp_hbm, S_hbm, c0, c1, c2, crow, sprow, outb,
                  in_sems, sp_sems, out_sems, *, H, W1, D, p1, p2,
-                 with_partial, io_dtype):
-    def c_dma(slot, i):
-        return pltpu.make_async_copy(C_hbm.at[i], crow.at[slot],
-                                     in_sems.at[slot])
+                 with_partial, io_dtype, KB):
+    """Top-down 3-direction pass, KB rows per DMA.
 
-    def sp_dma(slot, i):
-        return pltpu.make_async_copy(Sp_hbm.at[i], sprow.at[slot],
-                                     sp_sems.at[slot])
+    Single-row streaming paid ~2us of DMA issue per row x 3 streams x 720
+    rows (~4ms/frame at 720p, dominating the pass); KB-row blocks cut the
+    DMA count by KB while the recurrence stays row-sequential in-register.
+    """
+    nb = H // KB
 
-    def out_dma(slot, i):
-        return pltpu.make_async_copy(outb.at[slot], S_hbm.at[i],
+    def c_dma(slot, b):
+        return pltpu.make_async_copy(C_hbm.at[pl.ds(b * KB, KB)],
+                                     crow.at[slot], in_sems.at[slot])
+
+    def sp_dma(slot, b):
+        return pltpu.make_async_copy(Sp_hbm.at[pl.ds(b * KB, KB)],
+                                     sprow.at[slot], sp_sems.at[slot])
+
+    def out_dma(slot, b):
+        return pltpu.make_async_copy(outb.at[slot],
+                                     S_hbm.at[pl.ds(b * KB, KB)],
                                      out_sems.at[slot])
 
     c0[...] = jnp.zeros((D, W1), jnp.int32)
@@ -85,39 +94,42 @@ def _down_kernel(C_hbm, Sp_hbm, S_hbm, c0, c1, c2, crow, sprow, outb,
     if with_partial:
         sp_dma(0, 0).start()
 
-    def body(i, _):
-        slot = i % 2
+    def body(b, _):
+        slot = b % 2
 
-        @pl.when(i + 1 < H)
+        @pl.when(b + 1 < nb)
         def _():
-            c_dma(1 - slot, i + 1).start()
+            c_dma(1 - slot, b + 1).start()
             if with_partial:
-                sp_dma(1 - slot, i + 1).start()
+                sp_dma(1 - slot, b + 1).start()
 
-        c_dma(slot, i).wait()
+        c_dma(slot, b).wait()
         if with_partial:
-            sp_dma(slot, i).wait()
+            sp_dma(slot, b).wait()
 
-        @pl.when(i >= 2)
+        @pl.when(b >= 2)
         def _():
-            out_dma(slot, i - 2).wait()
+            out_dma(slot, b - 2).wait()
 
-        C_slab = crow[slot].astype(jnp.int32)
-        L0, L1, L2 = _three_dirs(C_slab, c0[...], c1[...], c2[...], p1, p2)
-        c0[...] = L0
-        c1[...] = L1
-        c2[...] = L2
-        acc = L0 + L1 + L2
-        if with_partial:
-            acc = acc + sprow[slot].astype(jnp.int32)
-        # 5-direction partial sums stay < 5 * win^2 * 236 < 2^15: int16 I/O
-        outb[slot] = acc.astype(io_dtype)
-        out_dma(slot, i).start()
+        for k in range(KB):
+            C_slab = crow[slot, k].astype(jnp.int32)
+            L0, L1, L2 = _three_dirs(C_slab, c0[...], c1[...], c2[...],
+                                     p1, p2)
+            c0[...] = L0
+            c1[...] = L1
+            c2[...] = L2
+            acc = L0 + L1 + L2
+            if with_partial:
+                acc = acc + sprow[slot, k].astype(jnp.int32)
+            # 5-dir partial sums stay < 5 * win^2 * 236 < 2^15: int16 I/O
+            outb[slot, k] = acc.astype(io_dtype)
+        out_dma(slot, b).start()
         return 0
 
-    jax.lax.fori_loop(0, H, body, 0)
-    out_dma((H - 2) % 2, H - 2).wait()
-    out_dma((H - 1) % 2, H - 1).wait()
+    jax.lax.fori_loop(0, nb, body, 0)
+    if nb >= 2:
+        out_dma((nb - 2) % 2, nb - 2).wait()
+    out_dma((nb - 1) % 2, nb - 1).wait()
 
 
 def _wta_row_hdw(S_slab, D, uniqueness_ratio):
@@ -157,17 +169,6 @@ def _wta_row_hdw(S_slab, D, uniqueness_ratio):
 def _final_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm, uniq_hbm,
                   c0, c1, c2, crow, sprow, obuf, in_sems, sp_sems, out_sems,
                   *, H, W1, D, p1, p2, uniqueness_ratio, reverse):
-    def y_of(i):
-        return (H - 1 - i) if reverse else i
-
-    def c_dma(slot, i):
-        return pltpu.make_async_copy(C_hbm.at[y_of(i)], crow.at[slot],
-                                     in_sems.at[slot])
-
-    def sp_dma(slot, i):
-        return pltpu.make_async_copy(Sp_hbm.at[y_of(i)], sprow.at[slot],
-                                     sp_sems.at[slot])
-
     def out_dmas(slot, blk):
         y0 = pl.multiple_of((H - 8 * (blk + 1)) if reverse else 8 * blk, 8)
         targets = (best_hbm, minS_hbm, dval_hbm, uniq_hbm)
@@ -181,50 +182,72 @@ def _final_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm, uniq_hbm,
     c0[...] = jnp.zeros((D, W1), jnp.int32)
     c1[...] = jnp.zeros((D, W1), jnp.int32)
     c2[...] = jnp.zeros((D, W1), jnp.int32)
-    c_dma(0, 0).start()
-    sp_dma(0, 0).start()
-    n_blocks = H // 8
+    KB = 4  # input rows per DMA (see _down_kernel: single-row streaming is
+    # DMA-issue-bound); output stays 8-row blocked (DMA sublane alignment)
+    nb = H // KB
 
-    def body(i, _):
-        slot = i % 2
-        blk = i // 8
-        r = i % 8
+    def y0_of(b):
+        return (H - KB * (b + 1)) if reverse else (b * KB)
+
+    def c_blk_dma(slot, b):
+        return pltpu.make_async_copy(C_hbm.at[pl.ds(y0_of(b), KB)],
+                                     crow.at[slot], in_sems.at[slot])
+
+    def sp_blk_dma(slot, b):
+        return pltpu.make_async_copy(Sp_hbm.at[pl.ds(y0_of(b), KB)],
+                                     sprow.at[slot], sp_sems.at[slot])
+
+    c_blk_dma(0, 0).start()
+    sp_blk_dma(0, 0).start()
+
+    def body(b, _):
+        slot = b % 2
+        blk = b // 2  # 8-row output block index
         oslot = blk % 2
 
-        @pl.when(i + 1 < H)
+        @pl.when(b + 1 < nb)
         def _():
-            c_dma(1 - slot, i + 1).start()
-            sp_dma(1 - slot, i + 1).start()
+            c_blk_dma(1 - slot, b + 1).start()
+            sp_blk_dma(1 - slot, b + 1).start()
 
-        c_dma(slot, i).wait()
-        sp_dma(slot, i).wait()
+        c_blk_dma(slot, b).wait()
+        sp_blk_dma(slot, b).wait()
 
-        @pl.when((r == 0) & (blk >= 2))
+        @pl.when((b % 2 == 0) & (blk >= 2))
         def _():
             for d in out_dmas(oslot, blk - 2):
                 d.wait()
 
-        C_slab = crow[slot].astype(jnp.int32)
-        L0, L1, L2 = _three_dirs(C_slab, c0[...], c1[...], c2[...], p1, p2)
-        c0[...] = L0
-        c1[...] = L1
-        c2[...] = L2
-        S_slab = sprow[slot].astype(jnp.int32) + L0 + L1 + L2
-        best, minS, dval, uniq = _wta_row_hdw(S_slab, D, uniqueness_ratio)
-        row = (7 - r) if reverse else r  # fill order matches sweep
-        obuf[oslot, 0, pl.ds(row, 1)] = best.reshape(1, W1)
-        obuf[oslot, 1, pl.ds(row, 1)] = minS.reshape(1, W1)
-        obuf[oslot, 2, pl.ds(row, 1)] = dval.reshape(1, W1)
-        obuf[oslot, 3, pl.ds(row, 1)] = uniq.reshape(1, W1)
+        for k in range(KB):
+            # global sweep step i = KB*b + k; source row y_of(i) is buffer
+            # row k when forward, KB-1-k when reversed (blocks march
+            # opposite to y; in-block order compensates)
+            kk = (KB - 1 - k) if reverse else k
+            r = KB * (b % 2) + k  # row position within the 8-row sweep blk
+            C_slab = crow[slot, kk].astype(jnp.int32)
+            L0, L1, L2 = _three_dirs(C_slab, c0[...], c1[...], c2[...],
+                                     p1, p2)
+            c0[...] = L0
+            c1[...] = L1
+            c2[...] = L2
+            S_slab = sprow[slot, kk].astype(jnp.int32) + L0 + L1 + L2
+            best, minS, dval, uniq = _wta_row_hdw(S_slab, D,
+                                                  uniqueness_ratio)
+            row = (7 - r) if reverse else r  # fill order matches sweep
+            obuf[oslot, 0, pl.ds(row, 1)] = best.reshape(1, W1)
+            obuf[oslot, 1, pl.ds(row, 1)] = minS.reshape(1, W1)
+            obuf[oslot, 2, pl.ds(row, 1)] = dval.reshape(1, W1)
+            obuf[oslot, 3, pl.ds(row, 1)] = uniq.reshape(1, W1)
 
-        @pl.when(r == 7)
+        @pl.when(b % 2 == 1)
         def _():
             for d in out_dmas(oslot, blk):
                 d.start()
 
         return 0
 
-    jax.lax.fori_loop(0, H, body, 0)
+    jax.lax.fori_loop(0, nb, body, 0)
+    n_blocks = H // 8
     if n_blocks >= 2:
         for d in out_dmas((n_blocks - 2) % 2, n_blocks - 2):
             d.wait()
@@ -250,20 +273,28 @@ def _sgm_step_hd(C_slab, Lp, p1, p2):
 
 def _horiz_kernel(Ct_hbm, Sp_hbm, out_hbm, carry, crow, sprow, outb,
                   in_sems, sp_sems, out_sems, *, W1, H, D, p1, p2,
-                  reverse, with_partial, io_dtype):
-    def x_of(i):
-        return (W1 - 1 - i) if reverse else i
+                  reverse, with_partial, io_dtype, KB):
+    """One horizontal direction, KB columns per DMA (see _down_kernel: the
+    single-column form was DMA-issue-bound at ~2us x 3 streams x 1152
+    columns ~= 7ms/frame at 720p)."""
+    nb = W1 // KB
 
-    def c_dma(slot, i):
-        return pltpu.make_async_copy(Ct_hbm.at[x_of(i)], crow.at[slot],
-                                     in_sems.at[slot])
+    def x0_of(b):
+        # first source column of block b (blocks march opposite to x when
+        # reversed; in-block processing order compensates)
+        return (W1 - KB * (b + 1)) if reverse else (b * KB)
 
-    def sp_dma(slot, i):
-        return pltpu.make_async_copy(Sp_hbm.at[x_of(i)], sprow.at[slot],
-                                     sp_sems.at[slot])
+    def c_dma(slot, b):
+        return pltpu.make_async_copy(Ct_hbm.at[pl.ds(x0_of(b), KB)],
+                                     crow.at[slot], in_sems.at[slot])
 
-    def out_dma(slot, i):
-        return pltpu.make_async_copy(outb.at[slot], out_hbm.at[x_of(i)],
+    def sp_dma(slot, b):
+        return pltpu.make_async_copy(Sp_hbm.at[pl.ds(x0_of(b), KB)],
+                                     sprow.at[slot], sp_sems.at[slot])
+
+    def out_dma(slot, b):
+        return pltpu.make_async_copy(outb.at[slot],
+                                     out_hbm.at[pl.ds(x0_of(b), KB)],
                                      out_sems.at[slot])
 
     carry[...] = jnp.zeros((H, D), jnp.int32)
@@ -271,35 +302,40 @@ def _horiz_kernel(Ct_hbm, Sp_hbm, out_hbm, carry, crow, sprow, outb,
     if with_partial:
         sp_dma(0, 0).start()
 
-    def body(i, _):
-        slot = i % 2
+    korder = range(KB - 1, -1, -1) if reverse else range(KB)
 
-        @pl.when(i + 1 < W1)
+    def body(b, _):
+        slot = b % 2
+
+        @pl.when(b + 1 < nb)
         def _():
-            c_dma(1 - slot, i + 1).start()
+            c_dma(1 - slot, b + 1).start()
             if with_partial:
-                sp_dma(1 - slot, i + 1).start()
+                sp_dma(1 - slot, b + 1).start()
 
-        c_dma(slot, i).wait()
+        c_dma(slot, b).wait()
         if with_partial:
-            sp_dma(slot, i).wait()
+            sp_dma(slot, b).wait()
 
-        @pl.when(i >= 2)
+        @pl.when(b >= 2)
         def _():
-            out_dma(slot, i - 2).wait()
+            out_dma(slot, b - 2).wait()
 
-        L = _sgm_step_hd(crow[slot].astype(jnp.int32), carry[...], p1, p2)
-        carry[...] = L
-        acc = L
-        if with_partial:
-            acc = acc + sprow[slot].astype(jnp.int32)
-        outb[slot] = acc.astype(io_dtype)
-        out_dma(slot, i).start()
+        for k in korder:
+            L = _sgm_step_hd(crow[slot, k].astype(jnp.int32), carry[...],
+                             p1, p2)
+            carry[...] = L
+            acc = L
+            if with_partial:
+                acc = acc + sprow[slot, k].astype(jnp.int32)
+            outb[slot, k] = acc.astype(io_dtype)
+        out_dma(slot, b).start()
         return 0
 
-    jax.lax.fori_loop(0, W1, body, 0)
-    out_dma((W1 - 2) % 2, W1 - 2).wait()
-    out_dma((W1 - 1) % 2, W1 - 1).wait()
+    jax.lax.fori_loop(0, nb, body, 0)
+    if nb >= 2:
+        out_dma((nb - 2) % 2, nb - 2).wait()
+    out_dma((nb - 1) % 2, nb - 1).wait()
 
 
 def sgm_horiz_pass_hdw(Ct, p1, p2, reverse=False, partial=None,
@@ -317,16 +353,17 @@ def sgm_horiz_pass_hdw(Ct, p1, p2, reverse=False, partial=None,
     p2 = max(p2, p1 + 1)
     with_partial = partial is not None
     io_dtype = Ct.dtype
+    KB = 8 if W1 % 8 == 0 else 1  # columns per DMA (DMA-issue-bound else)
     kernel = functools.partial(
         _horiz_kernel, W1=W1, H=H, D=D, p1=p1, p2=p2, reverse=reverse,
-        with_partial=with_partial, io_dtype=io_dtype,
+        with_partial=with_partial, io_dtype=io_dtype, KB=KB,
     )
     args = (Ct, partial) if with_partial else (Ct, Ct)  # dummy 2nd when unused
     scratch = [
         pltpu.VMEM((H, D), jnp.int32),
-        pltpu.VMEM((2, H, D), io_dtype),
-        pltpu.VMEM((2, H, D), io_dtype),
-        pltpu.VMEM((2, H, D), io_dtype),
+        pltpu.VMEM((2, KB, H, D), io_dtype),
+        pltpu.VMEM((2, KB, H, D), io_dtype),
+        pltpu.VMEM((2, KB, H, D), io_dtype),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -350,18 +387,19 @@ def sgm_down_pass_hdw(C, p1, p2, partial=None, interpret=False):
     p2 = max(p2, p1 + 1)
     with_partial = partial is not None
     io_dtype = C.dtype
+    KB = 4 if H % 4 == 0 else 1  # rows per DMA (DMA-issue-bound else)
     kernel = functools.partial(
         _down_kernel, H=H, W1=W1, D=D, p1=p1, p2=p2,
-        with_partial=with_partial, io_dtype=io_dtype,
+        with_partial=with_partial, io_dtype=io_dtype, KB=KB,
     )
     args = (C, partial) if with_partial else (C, C)  # dummy 2nd when unused
     scratch = [
         pltpu.VMEM((D, W1), jnp.int32),
         pltpu.VMEM((D, W1), jnp.int32),
         pltpu.VMEM((D, W1), jnp.int32),
-        pltpu.VMEM((2, D, W1), io_dtype),
-        pltpu.VMEM((2, D, W1), io_dtype),
-        pltpu.VMEM((2, D, W1), io_dtype),
+        pltpu.VMEM((2, KB, D, W1), io_dtype),
+        pltpu.VMEM((2, KB, D, W1), io_dtype),
+        pltpu.VMEM((2, KB, D, W1), io_dtype),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -400,8 +438,8 @@ def sgm_final_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
             pltpu.VMEM((D, W1), jnp.int32),
             pltpu.VMEM((D, W1), jnp.int32),
             pltpu.VMEM((D, W1), jnp.int32),
-            pltpu.VMEM((2, D, W1), C.dtype),
-            pltpu.VMEM((2, D, W1), S_partial.dtype),
+            pltpu.VMEM((2, 4, D, W1), C.dtype),
+            pltpu.VMEM((2, 4, D, W1), S_partial.dtype),
             pltpu.VMEM((2, 4, 8, W1), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -45,3 +45,16 @@ def calib_dir(request):
     if not os.path.isdir(path):
         pytest.skip("reference calibration data not available")
     return path
+
+
+# Persistent compilation cache for the CPU test backend: the suite is
+# compile-dominated (shard_map meshes, Pallas interpret graphs), so warm
+# runs drop from ~10min to ~2min. TPU-side persistent caching is NOT safe
+# on this machine (it hangs the axon tunnel) -- this applies to the test
+# processes only, which force the CPU backend above.
+_cache_dir = os.path.join(
+    os.path.dirname(__file__), "..", ".pytest_jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -77,3 +77,28 @@ def test_sgm_pallas_int16_streaming_path():
         got = stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
                           MatcherConfig(backend="pallas", **kw))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("dot_dtype", ["int8", "bfloat16"])
+def test_label_histogram_matches_scatter(dot_dtype):
+    # the MXU one-hot histogram (ops/pallas/histogram.py) must reproduce the
+    # scatter-add per-root component counts exactly (f32 accumulation is
+    # exact below 2^24; int8 accumulates in int32)
+    rng = np.random.default_rng(21)
+    H, W = 48, 256
+    lab = np.sort(rng.integers(0, H * W, H * W).astype(np.int32)).reshape(
+        H, W
+    )
+    act = rng.random((H, W)) > 0.15
+    ref = np.zeros(H * W, np.int64)
+    np.add.at(ref, lab.reshape(-1)[act.reshape(-1)], 1)
+
+    from rt_depth_map_tpu.ops.pallas.histogram import label_histogram_pallas
+
+    got = np.asarray(
+        label_histogram_pallas(
+            jnp.asarray(lab), jnp.asarray(act), interpret=True,
+            dot_dtype=jnp.dtype(dot_dtype).type,
+        )
+    )
+    np.testing.assert_array_equal(got.reshape(-1), ref)

@@ -27,7 +27,9 @@ def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
 
-@pytest.mark.parametrize("n_space", [2, 4])
+@pytest.mark.parametrize(
+    "n_space", [2, pytest.param(4, marks=pytest.mark.slow)]
+)
 def test_tiled_bm_bit_exact(n_space):
     left, right, = stereo_pair(0, 64, 256, 7)
     cfg = MatcherConfig(num_disparities=32, block_size=9)
