@@ -374,7 +374,7 @@ def stereo_sgbm(
         from rt_depth_map_tpu.ops.pallas.sgm_hdw import (
             sgm_down_pass_hdw,
             sgm_final_wta_hdw,
-            sgm_horiz_pass_hdw,
+            sgm_horiz_pass_dh,
         )
 
         interp = jax.default_backend() == "cpu"
@@ -395,14 +395,19 @@ def stereo_sgbm(
             layout="hdw", dtype=vol_dtype, interpret=interp,
         )
         # horizontal passes: single-launch Pallas scans over x with the
-        # (H, D) carry resident in VMEM (lax.scan paid ~15ms/frame of
-        # per-step dispatch at 720p)
-        Ct = jnp.transpose(C_hdw, (2, 0, 1))  # (W1, H, D)
-        hf = sgm_horiz_pass_hdw(Ct, p1, p2, reverse=False, interpret=interp)
+        # carry resident in VMEM (lax.scan paid ~15ms/frame of per-step
+        # dispatch at 720p). The (W1, D, H) x-major layout keeps D on
+        # SUBLANES so the per-step min-reduce/shift over D runs at the same
+        # VPU rate as the vertical passes (see _horiz_dh_kernel).
+        Ct = jnp.transpose(C_hdw, (2, 1, 0))  # (W1, D, H)
+        hf = sgm_horiz_pass_dh(Ct, p1, p2, reverse=False, interpret=interp)
         if cfg.num_paths >= 8:
-            Sh_t = sgm_horiz_pass_hdw(Ct, p1, p2, reverse=True, partial=hf,
-                                      interpret=interp)
-            Sh = jnp.transpose(Sh_t, (1, 2, 0))
+            Sh_t = sgm_horiz_pass_dh(Ct, p1, p2, reverse=True,
+                                     partial=hf, interpret=interp)
+        else:
+            Sh_t = hf
+        Sh = jnp.transpose(Sh_t, (2, 1, 0))  # (H, D, W1)
+        if cfg.num_paths >= 8:
             Sa = sgm_down_pass_hdw(C_hdw, p1, p2, partial=Sh,
                                    interpret=interp)
             best, minS, dval, uniq = sgm_final_wta_hdw(
@@ -410,7 +415,6 @@ def stereo_sgbm(
                 interpret=interp,
             )
         else:
-            Sh = jnp.transpose(hf, (1, 2, 0))
             best, minS, dval, uniq = sgm_final_wta_hdw(
                 C_hdw, Sh, p1, p2, cfg.uniqueness_ratio, reverse=False,
                 interpret=interp,

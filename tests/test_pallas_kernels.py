@@ -79,6 +79,30 @@ def test_sgm_pallas_int16_streaming_path():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_sgm_horiz_dh_matches_hd(reverse):
+    # the (D, H)-slab horizontal kernel (sublane-cheap recurrence) must be
+    # bit-exact vs the original (H, D)-slab kernel modulo the transpose
+    from rt_depth_map_tpu.ops.pallas.sgm_hdw import (
+        sgm_horiz_pass_dh,
+        sgm_horiz_pass_hdw,
+    )
+
+    rng = np.random.default_rng(33)
+    W1, H, D = 64, 16, 128
+    Ct = jnp.asarray(rng.integers(0, 1500, (W1, H, D)).astype(np.int16))
+    hf_ref = sgm_horiz_pass_hdw(Ct, 600, 2400, reverse=False, interpret=True)
+    ref = sgm_horiz_pass_hdw(Ct, 600, 2400, reverse=reverse,
+                             partial=hf_ref, interpret=True)
+    Ct2 = jnp.swapaxes(Ct, 1, 2)  # (W1, D, H)
+    hf2 = sgm_horiz_pass_dh(Ct2, 600, 2400, reverse=False, interpret=True)
+    got = sgm_horiz_pass_dh(Ct2, 600, 2400, reverse=reverse,
+                            partial=hf2, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(ref)
+    )
+
+
 @pytest.mark.parametrize("dot_dtype", ["int8", "bfloat16"])
 def test_label_histogram_matches_scatter(dot_dtype):
     # the MXU one-hot histogram (ops/pallas/histogram.py) must reproduce the
