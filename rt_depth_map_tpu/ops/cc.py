@@ -157,6 +157,17 @@ def connected_components_scan(
         new = jnp.where(active, _seg_min_scan(new, allowed_v, axis=0), new)
         return new
 
+    if connectivity == 4:
+        from rt_depth_map_tpu.ops.pallas.cc_sweep import (
+            cc_fits_vmem,
+            seg_min_propagate_pallas,
+        )
+
+        if jax.default_backend() not in ("cpu",) and cc_fits_vmem(H, W):
+            # all convergence rounds on-chip: one HBM read + write of the
+            # field vs ~630MB/round of materialized sweep planes in XLA
+            return seg_min_propagate_pallas(idx, active, allowed_h, allowed_v)
+
     def body(state):
         labels, _ = state
         # two sweeps per trip halve the while-loop round count
@@ -319,6 +330,17 @@ def component_sizes(
         ne = jnp.where(a_sw, lab[1:, :-1], _BIG)
         out = out.at[:-1, 1:].min(ne)
         return jnp.where(active, out, f)
+
+    if connectivity == 4:
+        from rt_depth_map_tpu.ops.pallas.cc_sweep import (
+            cc_fits_vmem,
+            seg_min_propagate_pallas,
+        )
+
+        if jax.default_backend() not in ("cpu",) and cc_fits_vmem(H, W):
+            field = seg_min_propagate_pallas(field, active, allowed_h,
+                                             allowed_v)
+            return jnp.where(active, field, 0)
 
     def body(state):
         f, _ = state

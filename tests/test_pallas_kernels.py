@@ -126,3 +126,50 @@ def test_label_histogram_matches_scatter(dot_dtype):
         )
     )
     np.testing.assert_array_equal(got.reshape(-1), ref)
+
+
+def test_seg_min_propagate_matches_xla_cc():
+    # the in-VMEM propagation kernel must reach the same fixed point as the
+    # XLA segmented-sweep CC: min linear index per 4-connected component
+    from rt_depth_map_tpu.ops.cc import connected_components_scan
+    from rt_depth_map_tpu.ops.pallas.cc_sweep import seg_min_propagate_pallas
+
+    rng = np.random.default_rng(7)
+    H, W = 32, 128
+    # blobby disparity field with invalid speckles
+    v = (rng.integers(0, 4, (H, W)) * 32).astype(np.int32)
+    act = rng.random((H, W)) > 0.25
+    vj = jnp.asarray(v)
+    actj = jnp.asarray(act)
+    ref = connected_components_scan(vj, actj, jnp.int32(16), 4)  # XLA path (cpu)
+
+    idx = (np.arange(H)[:, None] * W + np.arange(W)[None, :]).astype(np.int32)
+    ah = act[:, :-1] & act[:, 1:] & (np.abs(v[:, :-1] - v[:, 1:]) <= 16)
+    av = act[:-1, :] & act[1:, :] & (np.abs(v[:-1, :] - v[1:, :]) <= 16)
+    got = seg_min_propagate_pallas(
+        jnp.asarray(idx), actj, jnp.asarray(ah), jnp.asarray(av),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_seg_min_propagate_spiral_converges():
+    # worst-case component: a spiral corridor needs many direction turns --
+    # exercises the while_loop round bound rather than typical 2-3 rounds
+    from rt_depth_map_tpu.ops.pallas.cc_sweep import seg_min_propagate_pallas
+
+    H, W = 16, 128
+    act = np.zeros((H, W), bool)
+    act[0, :] = True
+    act[:, -1] = True
+    act[-1, :] = True
+    act[2:, 0] = True
+    act[2, :64] = True  # inward turn
+    idx = (np.arange(H)[:, None] * W + np.arange(W)[None, :]).astype(np.int32)
+    ah = act[:, :-1] & act[:, 1:]
+    av = act[:-1, :] & act[1:, :]
+    got = np.asarray(seg_min_propagate_pallas(
+        jnp.asarray(idx), jnp.asarray(act), jnp.asarray(ah), jnp.asarray(av),
+        interpret=True,
+    ))
+    assert (got[act] == got[act].min()).all()  # single component, one label
