@@ -157,16 +157,17 @@ def connected_components_scan(
         new = jnp.where(active, _seg_min_scan(new, allowed_v, axis=0), new)
         return new
 
-    if connectivity == 4:
-        from rt_depth_map_tpu.ops.pallas.cc_sweep import (
-            cc_fits_vmem,
-            seg_min_propagate_pallas,
-        )
+    from rt_depth_map_tpu.ops.pallas.cc_sweep import (
+        cc_fits_vmem,
+        seg_min_propagate_pallas,
+    )
 
-        if jax.default_backend() not in ("cpu",) and cc_fits_vmem(H, W):
-            # all convergence rounds on-chip: one HBM read + write of the
-            # field vs ~630MB/round of materialized sweep planes in XLA
-            return seg_min_propagate_pallas(idx, active, allowed_h, allowed_v)
+    if jax.default_backend() not in ("cpu",) and cc_fits_vmem(H, W):
+        # all convergence rounds on-chip: one HBM read + write of the
+        # field vs ~630MB/round of materialized sweep planes in XLA
+        d_se, d_sw = diag if connectivity == 8 else (None, None)
+        return seg_min_propagate_pallas(idx, active, allowed_h, allowed_v,
+                                        d_se, d_sw)
 
     def body(state):
         labels, _ = state
@@ -248,6 +249,19 @@ def connected_components_bbox(
         ]
 
     init = (idx, -idx, xs, -xs)  # label, -maxidx, minx, -maxx
+
+    from rt_depth_map_tpu.ops.pallas.cc_sweep import (
+        cc_fits_vmem,
+        seg_min_propagate_pallas,
+    )
+
+    if jax.default_backend() not in ("cpu",) and cc_fits_vmem(H, W, 4):
+        # all 4 bbox aggregates ride one in-VMEM propagation (one edge-mask
+        # load, one convergence loop on-chip)
+        d_se, d_sw = diag if connectivity == 8 else (None, None)
+        out = seg_min_propagate_pallas(jnp.stack(init), active,
+                                       allowed_h, allowed_v, d_se, d_sw)
+        return out[0], -out[1], out[2], -out[3]
 
     def body(state):
         fields, _ = state
@@ -331,16 +345,17 @@ def component_sizes(
         out = out.at[:-1, 1:].min(ne)
         return jnp.where(active, out, f)
 
-    if connectivity == 4:
-        from rt_depth_map_tpu.ops.pallas.cc_sweep import (
-            cc_fits_vmem,
-            seg_min_propagate_pallas,
-        )
+    from rt_depth_map_tpu.ops.pallas.cc_sweep import (
+        cc_fits_vmem,
+        seg_min_propagate_pallas,
+    )
 
-        if jax.default_backend() not in ("cpu",) and cc_fits_vmem(H, W):
-            field = seg_min_propagate_pallas(field, active, allowed_h,
-                                             allowed_v)
-            return jnp.where(active, field, 0)
+    if jax.default_backend() not in ("cpu",) and cc_fits_vmem(H, W):
+        field = seg_min_propagate_pallas(
+            field, active, allowed_h, allowed_v,
+            a_se if connectivity == 8 else None,
+            a_sw if connectivity == 8 else None)
+        return jnp.where(active, field, 0)
 
     def body(state):
         f, _ = state

@@ -10,7 +10,15 @@ speckle filter needs several rounds across its two propagation loops
 At 720p the whole problem fits in VMEM, so this kernel runs ALL rounds
 on-chip: one load, sweeps as VPU lane/sublane shifts on VMEM-resident
 data, one store. The convergence `while_loop` runs inside the kernel; HBM
-traffic is one read + one write of the field total.
+traffic is one read + one write of the fields total.
+
+Generalizations over the round-1 XLA path, both driven by callers:
+  * N stacked fields propagate together over the SAME edge set (the bbox
+    extraction of ops/detect.py min-propagates label / -maxidx / minx /
+    -maxx simultaneously);
+  * optional diagonal edges (8-connectivity, cv::findContours blob
+    semantics): each convergence round starts with one shift-based hop
+    across the diagonal links, exactly like ops/cc.py's `_diag_hop`.
 
 Mosaic notes (see memory: mosaic-pallas-pitfalls): i1 vectors cannot be
 shifted/reduced (bitcast_vreg i1->i32 fails to legalize), so every mask
@@ -18,15 +26,17 @@ here is an int32 0/1 plane and OR is `maximum`. Inactive pixels need no
 explicit select: all edges into them are absent, so each forms its own
 one-pixel segment and keeps its value through every scan.
 
-Semantics: min-propagate `field` along allowed 4-neighbor edges to the
-fixed point (each pixel ends with the minimum field value of its connected
-component). Identical contract to iterating ops/cc.py's `sweep` to
-convergence -- the fixed point is unique, so the sweep schedule does not
-matter. Used by connected_components_scan (field = linear index) and
-component_sizes' root-value read-back (field = root-held sizes).
+Semantics: min-propagate each field along allowed 4- or 8-neighbor edges
+to the fixed point (each pixel ends with the minimum field value of its
+connected component). Identical contract to iterating ops/cc.py's `sweep`
+to convergence -- the fixed point is unique, so the sweep schedule does
+not matter. Used by connected_components_scan (field = linear index),
+component_sizes' root-value read-back (field = root-held sizes), and
+connected_components_bbox (4 fields).
 
-Reference behavior: cv::filterSpeckles connected regions
-(/root/reference uses cv2's matcher post-filters; SURVEY.md section 2.9a).
+Reference behavior: cv::filterSpeckles / cv::findContours connected
+regions (/root/reference uses cv2's post-filters and contour detection;
+SURVEY.md section 2.9a, estimator.cpp:47-56).
 """
 
 from __future__ import annotations
@@ -63,6 +73,11 @@ def _shift_sub(a, d, fill):
     return _shift(a, d, fill, 0)
 
 
+def _shift2(a, dy, dx, fill):
+    out = _shift_sub(a, dy, fill) if dy else a
+    return _shift_lanes(out, dx, fill) if dx else out
+
+
 def _seg_min_axis(m, start, axis, reverse):
     """Segmented prefix-min (Hillis-Steele doubling) along `axis`; segments
     begin where `start` (int32 0/1) is 1 (in scan direction)."""
@@ -80,13 +95,15 @@ def _seg_min_axis(m, start, axis, reverse):
     return m
 
 
-def _kernel(field_hbm, ah_hbm, av_hbm, out_hbm,
-            fbuf, ahbuf, avbuf, sems, *, H, W, max_rounds):
+def _kernel(field_hbm, ah_hbm, av_hbm, se_hbm, sw_hbm, out_hbm,
+            fbuf, ahbuf, avbuf, sebuf, swbuf, sems, *,
+            N, H, W, max_rounds, diag):
+    srcs = [(field_hbm, fbuf), (ah_hbm, ahbuf), (av_hbm, avbuf)]
+    if diag:
+        srcs += [(se_hbm, sebuf), (sw_hbm, swbuf)]
     copies = [
         pltpu.make_async_copy(src, dst, sems.at[i])
-        for i, (src, dst) in enumerate(
-            [(field_hbm, fbuf), (ah_hbm, ahbuf), (av_hbm, avbuf)]
-        )
+        for i, (src, dst) in enumerate(srcs)
     ]
     for c in copies:
         c.start()
@@ -105,7 +122,31 @@ def _kernel(field_hbm, ah_hbm, av_hbm, out_hbm,
     sv_f = _shift_sub(nov, 1, 1)
     sv_b = nov
 
+    if diag:
+        # diagonal edge masks, pre-shifted so each selects at the TARGET
+        # pixel of its hop; se at (y, x) links (y, x)~(y+1, x+1), sw at
+        # (y, x) links (y, x+1)~(y+1, x)  (ops/cc.py `_diag_hop` parity)
+        se = sebuf[...].astype(jnp.int32)
+        sw = swbuf[...].astype(jnp.int32)
+        m_se_dn = _shift2(se, 1, 1, 0)   # receive at (y+1, x+1) from (y, x)
+        m_se_up = se                     # receive at (y, x) from (y+1, x+1)
+        m_sw_dn = _shift_sub(sw, 1, 0)   # receive at (y+1, x) from (y, x+1)
+        m_sw_up = _shift_lanes(sw, 1, 0)  # receive at (y, x+1) from (y+1, x)
+
+        def diag_hop(f):
+            f = jnp.minimum(
+                f, jnp.where(m_se_dn > 0, _shift2(f, 1, 1, _BIG), _BIG))
+            f = jnp.minimum(
+                f, jnp.where(m_se_up > 0, _shift2(f, -1, -1, _BIG), _BIG))
+            f = jnp.minimum(
+                f, jnp.where(m_sw_dn > 0, _shift2(f, 1, -1, _BIG), _BIG))
+            f = jnp.minimum(
+                f, jnp.where(m_sw_up > 0, _shift2(f, -1, 1, _BIG), _BIG))
+            return f
+
     def sweep(f):
+        if diag:
+            f = diag_hop(f)
         rf = _seg_min_axis(f, sh_f, 1, False)
         rb = _seg_min_axis(f, sh_b, 1, True)
         f = jnp.minimum(rf, rb)
@@ -114,47 +155,69 @@ def _kernel(field_hbm, ah_hbm, av_hbm, out_hbm,
         return jnp.minimum(cf, cb)
 
     def body(state):
-        f, _, r = state
-        new = sweep(f)
-        n_changed = jnp.sum(jnp.where(new != f, jnp.int32(1), jnp.int32(0)))
+        fs, _, r = state
+        new = tuple(sweep(f) for f in fs)
+        n_changed = jnp.int32(0)
+        for f, nf in zip(fs, new):
+            n_changed = n_changed + jnp.sum(
+                jnp.where(nf != f, jnp.int32(1), jnp.int32(0)))
         return new, n_changed, r + 1
 
     def cond(state):
         _, n_changed, r = state
         return (n_changed > 0) & (r < max_rounds)
 
-    f0 = fbuf[...]
+    f0 = tuple(fbuf[i] for i in range(N))
     final, _, _ = jax.lax.while_loop(cond, body, (f0, jnp.int32(1),
                                                   jnp.int32(0)))
-    out_hbm[...] = final
+    for i in range(N):
+        out_hbm[i] = final[i]
 
 
 def seg_min_propagate_pallas(field, active, allowed_h, allowed_v,
+                             allowed_se=None, allowed_sw=None,
                              interpret=False):
-    """Min-propagate `field` (int32 (H, W)) along allowed 4-neighbor edges
-    of `active` pixels to the fixed point. allowed_h: (H, W-1) edges
-    (y,x)~(y,x+1); allowed_v: (H-1, W) edges (y,x)~(y+1,x). Inactive pixels
-    keep their input value (they have no edges, so each is its own
-    one-pixel segment; `active` is accepted for interface parity with the
-    XLA path but not needed on-chip)."""
+    """Min-propagate `field` along allowed edges of `active` pixels to the
+    fixed point.
+
+    field: int32 (H, W) or (N, H, W) -- N fields propagate together over
+    the same edges (one load of the masks, one convergence loop).
+    allowed_h: (H, W-1) edges (y,x)~(y,x+1); allowed_v: (H-1, W) edges
+    (y,x)~(y+1,x). For 8-connectivity pass allowed_se ((H-1, W-1) edges
+    (y,x)~(y+1,x+1)) and allowed_sw ((H-1, W-1) edges (y,x+1)~(y+1,x)).
+    Inactive pixels keep their input value (they have no edges, so each is
+    its own one-pixel segment; `active` is accepted for interface parity
+    with the XLA path but not needed on-chip). Returns field's shape."""
     del active
-    H, W = field.shape
+    squeeze = field.ndim == 2
+    if squeeze:
+        field = field[None]
+    N, H, W = field.shape
+    diag = allowed_se is not None
     ah = jnp.pad(allowed_h, ((0, 0), (0, 1))).astype(jnp.int8)
     av = jnp.pad(allowed_v, ((0, 1), (0, 0))).astype(jnp.int8)
+    if diag:
+        se = jnp.pad(allowed_se, ((0, 1), (0, 1))).astype(jnp.int8)
+        sw = jnp.pad(allowed_sw, ((0, 1), (0, 1))).astype(jnp.int8)
+    else:
+        se = sw = ah  # unused dummy operands (kernel never reads them)
     # a sweep propagates across >= one full row/column run; image-spanning
     # snakes need at most H+W direction turns
     max_rounds = H + W
-    kernel = functools.partial(_kernel, H=H, W=W, max_rounds=max_rounds)
-    return pl.pallas_call(
+    kernel = functools.partial(_kernel, N=N, H=H, W=W,
+                               max_rounds=max_rounds, diag=diag)
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_shape=jax.ShapeDtypeStruct((N, H, W), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((H, W), jnp.int32),
+            pltpu.VMEM((N, H, W), jnp.int32),
             pltpu.VMEM((H, W), jnp.int8),
             pltpu.VMEM((H, W), jnp.int8),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((H, W), jnp.int8),
+            pltpu.VMEM((H, W), jnp.int8),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
         compiler_params=pltpu.CompilerParams(
             # int32 start-flag planes + scan temporaries exceed the 16MB
@@ -162,11 +225,15 @@ def seg_min_propagate_pallas(field, active, allowed_h, allowed_v,
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(field.astype(jnp.int32), ah, av)
+    )(field.astype(jnp.int32), ah, av, se, sw)
+    return out[0] if squeeze else out
 
 
-def cc_fits_vmem(H, W):
+def cc_fits_vmem(H, W, n_fields=1):
     """True when the in-VMEM propagation kernel's working set fits: the
-    field + four int32 start-flag planes + scan temporaries (~8 int32
-    planes peak) under the raised 100MB vmem limit."""
-    return H * W * 4 * 12 <= 90 * 2**20 and W % 128 == 0 and H % 8 == 0
+    fields + four int32 start-flag planes + scan temporaries (~8 int32
+    planes peak, reused across fields) under the raised 100MB vmem
+    limit."""
+    planes = 11 + 2 * n_fields
+    return (H * W * 4 * planes <= 90 * 2**20
+            and W % 128 == 0 and H % 8 == 0)

@@ -153,6 +153,34 @@ def test_seg_min_propagate_matches_xla_cc():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_seg_min_propagate_8conn_bbox_matches_xla():
+    # 4-field (label/-maxidx/minx/-maxx) propagation with diagonal edges
+    # must match the XLA connected_components_bbox fixed point
+    from rt_depth_map_tpu.ops.cc import connected_components_bbox
+    from rt_depth_map_tpu.ops.pallas.cc_sweep import seg_min_propagate_pallas
+
+    rng = np.random.default_rng(3)
+    H, W = 24, 128
+    act = rng.random((H, W)) > 0.55  # sparse: many diagonal-only links
+    actj = jnp.asarray(act)
+    ref = connected_components_bbox(actj, 8)  # XLA path (cpu backend)
+
+    idx = (np.arange(H)[:, None] * W + np.arange(W)[None, :]).astype(np.int32)
+    xs = np.broadcast_to(np.arange(W, dtype=np.int32), (H, W))
+    ah = act[:, :-1] & act[:, 1:]
+    av = act[:-1, :] & act[1:, :]
+    a_se = act[:-1, :-1] & act[1:, 1:]
+    a_sw = act[:-1, 1:] & act[1:, :-1]
+    fields = jnp.stack([jnp.asarray(idx), jnp.asarray(-idx),
+                        jnp.asarray(xs), jnp.asarray(-xs)])
+    got = seg_min_propagate_pallas(
+        fields, actj, jnp.asarray(ah), jnp.asarray(av),
+        jnp.asarray(a_se), jnp.asarray(a_sw), interpret=True,
+    )
+    for g, r, s in zip(got, ref, (1, -1, 1, -1)):
+        np.testing.assert_array_equal(np.asarray(g) * s, np.asarray(r))
+
+
 def test_seg_min_propagate_spiral_converges():
     # worst-case component: a spiral corridor needs many direction turns --
     # exercises the while_loop round bound rather than typical 2-3 rounds
