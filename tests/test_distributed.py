@@ -72,6 +72,10 @@ def test_two_process_distributed_tiled_bm():
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = "cpu"
+    # prevent the machine sitecustomize from registering (and dialing) the
+    # TPU-tunnel PJRT plugin in the children: it force-selects the axon
+    # platform over JAX_PLATFORMS, and a wedged tunnel would hang them
+    env["PALLAS_AXON_POOL_IPS"] = ""
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _DRIVER, str(rank), "2", str(port)],
