@@ -40,6 +40,10 @@ from rt_depth_map_tpu.ops import (
 )
 from rt_depth_map_tpu.ops.bm import stereo_bm
 from rt_depth_map_tpu.ops.detect import detect_objects, matching_region
+from rt_depth_map_tpu.ops.pallas.remap_plan import (
+    plan_remap,
+    remap_bilinear_planned,
+)
 from rt_depth_map_tpu.ops.reproject import (
     calc_depth,
     disparity_fixed_to_float,
@@ -201,6 +205,17 @@ class Engine:
         grid_l_roi = grid_l[ry : ry + rh, rx : rx + rw]
         grid_r_roi = grid_r[ry : ry + rh, rx : rx + rw]
 
+        # Constant-map remap plans (ops/pallas/remap_plan.py): the gather
+        # becomes a statically-scheduled select network on TPU. plan_remap
+        # returns None for warps outside its bounds -> gather fallback.
+        plan_l = plan_r = None
+        if jax.default_backend() not in ("cpu",):
+            src_hw = self.map_left.shape[:2]  # maps are full-frame (H, W, 2)
+            np_l = self.map_left[ry : ry + rh, rx : rx + rw]
+            np_r = self.map_right[ry : ry + rh, rx : rx + rw]
+            plan_l = plan_remap(np_l, src_hw)
+            plan_r = plan_remap(np_r, src_hw)
+
         def frame_fn(left_rgb, right_rgb, hsv_low, hsv_high, min_size):
             lg = rgb_to_gray(left_rgb)
             rg = rgb_to_gray(right_rgb)
@@ -209,10 +224,16 @@ class Engine:
             # packed 4-channel image (gathers dominate remap cost on TPU;
             # per-channel results are bit-identical to separate remaps).
             lstack = jnp.concatenate([lg[..., None], left_rgb], axis=-1)
-            lrect4 = remap_bilinear(lstack, grid_l_roi)
+            if plan_l is not None:
+                lrect4 = remap_bilinear_planned(lstack, plan_l)
+            else:
+                lrect4 = remap_bilinear(lstack, grid_l_roi)
             lrect = lrect4[..., 0]
             rgbr = lrect4[..., 1:]
-            rrect = remap_bilinear(rg, grid_r_roi)
+            if plan_r is not None:
+                rrect = remap_bilinear_planned(rg, plan_r)
+            else:
+                rrect = remap_bilinear(rg, grid_r_roi)
 
             # detection path (estimator.cpp:41-56)
             hsv = rgb_to_hsv(rgbr)

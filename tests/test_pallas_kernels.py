@@ -181,6 +181,69 @@ def test_seg_min_propagate_8conn_bbox_matches_xla():
         np.testing.assert_array_equal(np.asarray(g) * s, np.asarray(r))
 
 
+@pytest.mark.parametrize("case", ["warp", "xshift", "identity"])
+def test_remap_planned_matches_gather(case):
+    # the statically-planned select-network remap must be bit-exact vs the
+    # gather formulation (itself +/-1 LSB vs cv::remap)
+    from rt_depth_map_tpu.ops.remap import remap_bilinear
+    from rt_depth_map_tpu.ops.pallas.remap_plan import (
+        plan_remap,
+        remap_bilinear_planned,
+    )
+
+    rng = np.random.default_rng(0)
+    H, W = 64, 256
+    img = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    gy, gx = np.mgrid[0:H, 0:W].astype(np.float64)
+    if case == "warp":
+        mx = gx + 6 * np.sin(gy / 11.0) + 2 * np.cos(gx / 29.0) - 3
+        my = gy + 2.5 * np.sin(gx / 23.0) + 3 * np.cos(gy / 7.0) - 2
+    elif case == "xshift":
+        mx, my = gx + 1.5, gy + 0.0
+    else:
+        mx, my = gx, gy
+    grid = np.stack([mx, my], -1).astype(np.float32)
+    plan = plan_remap(grid, (H, W))
+    assert plan is not None
+    ref = np.asarray(remap_bilinear(jnp.asarray(img), jnp.asarray(grid)))
+    got = np.asarray(
+        remap_bilinear_planned(jnp.asarray(img), plan, interpret=True)
+    )
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_remap_planned_real_calibration_roi():
+    # real Bouguet map, awkward ROI crop (non-multiple-of-8/128 output),
+    # 4-channel (the engine's packed gray+RGB left stack)
+    import os.path
+
+    from rt_depth_map_tpu.calib.rectify import compute_rectification
+    from rt_depth_map_tpu.ops.remap import remap_bilinear
+    from rt_depth_map_tpu.ops.pallas.remap_plan import (
+        plan_remap,
+        remap_bilinear_planned,
+    )
+
+    cdir = "/root/reference/backup/320x240"
+    if not os.path.isdir(cdir):
+        pytest.skip("reference calibration data not available")
+    W, H = 320, 240
+    r = compute_rectification(
+        f"{cdir}/intrinsics.yml", f"{cdir}/extrinsics.yml", (W, H)
+    )
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (H, W, 4), dtype=np.uint8)
+    grid = r.map_left.astype(np.float32)[17:196, 33:290]
+    plan = plan_remap(grid, (H, W))
+    assert plan is not None
+    ref = np.asarray(remap_bilinear(jnp.asarray(img), jnp.asarray(grid)))
+    got = np.asarray(
+        remap_bilinear_planned(jnp.asarray(img), plan, interpret=True)
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_seg_min_propagate_spiral_converges():
     # worst-case component: a spiral corridor needs many direction turns --
     # exercises the while_loop round bound rather than typical 2-3 rounds
