@@ -103,6 +103,14 @@ def config_from_args(args) -> EngineConfig:
 
 
 def main(argv: Optional[list] = None) -> int:
+    # Some deployments register a PJRT plugin at interpreter start and
+    # force-select it via jax.config, which silently overrides the
+    # JAX_PLATFORMS env var; re-assert the user's explicit choice.
+    _plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if _plat:
+        import jax
+
+        jax.config.update("jax_platforms", _plat)
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 

@@ -48,35 +48,21 @@ def _kernel(planes_hbm, C_hbm, pin, obuf, in_sems, out_sems, *,
     ls, lu0, lu1 = left(0), left(1), left(2)
     lraw, lru0, lru1 = left(3), left(4), left(5)
 
+    lane_pos = jax.lax.broadcasted_iota(jnp.int32, (Rh, W1), 1)
+
     def horiz_win(v):
-        """Replicate-border sliding sum of width bs along lanes."""
-        # extend with replicated edge columns, then power-of-two doubling
-        le = jnp.concatenate([v[:, :1]] * w2 + [v] + [v[:, -1:]] * w2, axis=1)
-        sums = {1: le}
-        k = 1
-        while k * 2 <= bs:
-            prev = sums[k]
-            shifted = jnp.concatenate(
-                [prev[:, k:], jnp.zeros((prev.shape[0], k), jnp.int32)], axis=1
-            )
-            sums[k * 2] = prev + shifted
-            k *= 2
-        acc = None
-        off = 0
-        for bit in sorted(sums, reverse=True):
-            if bs & bit:
-                s = sums[bit]
-                part = (
-                    jnp.concatenate(
-                        [s[:, off:], jnp.zeros((s.shape[0], off), jnp.int32)],
-                        axis=1,
-                    )
-                    if off
-                    else s
-                )
-                acc = part if acc is None else acc + part
-                off += bit
-        return acc[:, :W1]
+        """Replicate-border sliding sum of width bs along lanes, as native
+        rolls + edge-replication masks (the jnp.concatenate extension
+        forced a Mosaic relayout per concat -- misaligned operands)."""
+        acc = v
+        le = v[:, :1]
+        re = v[:, -1:]
+        for k in range(1, w2 + 1):
+            l = jnp.where(lane_pos < k, le, pltpu.roll(v, k, axis=1))
+            r = jnp.where(lane_pos >= W1 - k, re, pltpu.roll(v, -k % W1,
+                                                             axis=1))
+            acc = acc + l + r
+        return acc
 
     def bt(u, u0, u1, v, v0, v1):
         c0 = jnp.maximum(0, jnp.maximum(u - v1, v0 - u))
@@ -131,9 +117,13 @@ def _kernel(planes_hbm, C_hbm, pin, obuf, in_sems, out_sems, *,
                 bt(lraw, lru0, lru1, right(9), right(10), right(11)) >> 2
             )  # (Rh, W1)
             h = horiz_win(pix)
-            acc = h[0:R]
+            # vertical window: sublane rolls + one tile-aligned slice (the
+            # h[r : r + R] slices were sublane-misaligned -> relayouts);
+            # wrapped rows land at sublane >= Rh - r >= R, outside the slice
+            vacc = h
             for r in range(1, bs):
-                acc = acc + h[r : r + R]
+                vacc = vacc + pltpu.roll(h, -r % Rh, axis=0)
+            acc = vacc[0:R]
             # dims (chunk, row, d-block, k, lane): dd indexes a non-tiled
             # dim (static k stays the sublane index)
             obuf[chunk, :, dd, k, :] = acc.astype(out_dtype)

@@ -28,16 +28,24 @@ MAX_COST = 32767
 DISP_SCALE = 16
 
 
+def _roll_shift(a, d, fill, axis):
+    """Shift toward higher indices along `axis` by d (may be negative),
+    filling vacated positions with `fill`. pltpu.roll + iota mask: the
+    jnp.concatenate formulation forces a Mosaic relayout per step (the
+    concat operands are misaligned to the (8, 128) tile grid), measured
+    ~400us/full-plane at 720p; rolls are native."""
+    N = a.shape[axis]
+    pos = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+    rolled = pltpu.roll(a, d % N, axis=axis)
+    mask = pos < d if d > 0 else pos >= N + d
+    return jnp.where(mask, fill, rolled)
+
+
 def _sgm_step_hdw(C_slab, Lp, p1, p2):
     """(D, W1) recurrence step; D on sublanes."""
-    D, W1 = Lp.shape
     minLp = jnp.min(Lp, axis=0, keepdims=True)
-    lm = jnp.concatenate(
-        [jnp.full((1, W1), MAX_COST, jnp.int32), Lp[:-1]], axis=0
-    )
-    lp_ = jnp.concatenate(
-        [Lp[1:], jnp.full((1, W1), MAX_COST, jnp.int32)], axis=0
-    )
+    lm = _roll_shift(Lp, 1, MAX_COST, 0)
+    lp_ = _roll_shift(Lp, -1, MAX_COST, 0)
     delta = minLp + p2
     m = jnp.minimum(jnp.minimum(Lp, lm + p1), jnp.minimum(lp_ + p1, delta))
     return C_slab + m - delta
@@ -46,14 +54,9 @@ def _sgm_step_hdw(C_slab, Lp, p1, p2):
 def _shift_lanes(L, dx):
     """Zero-fill shift along W1 (lanes): previous pixel of direction
     (dy, dx) at column x is column x - dx of the previous row."""
-    D, W1 = L.shape
     if dx == 0:
         return L
-    if dx > 0:
-        return jnp.concatenate(
-            [jnp.zeros((D, dx), jnp.int32), L[:, :-dx]], axis=1
-        )
-    return jnp.concatenate([L[:, -dx:], jnp.zeros((D, -dx), jnp.int32)], axis=1)
+    return _roll_shift(L, dx, 0, 1)
 
 
 def _three_dirs(C_slab, c0, c1, c2, p1, p2):
@@ -258,14 +261,9 @@ def _final_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm, uniq_hbm,
 def _sgm_step_hd(C_slab, Lp, p1, p2):
     """(H, D) recurrence step; D on lanes (the transposed-slab layout the
     horizontal passes stream)."""
-    H, D = Lp.shape
     minLp = jnp.min(Lp, axis=1, keepdims=True)
-    lm = jnp.concatenate(
-        [jnp.full((H, 1), MAX_COST, jnp.int32), Lp[:, :-1]], axis=1
-    )
-    lp_ = jnp.concatenate(
-        [Lp[:, 1:], jnp.full((H, 1), MAX_COST, jnp.int32)], axis=1
-    )
+    lm = _roll_shift(Lp, 1, MAX_COST, 1)
+    lp_ = _roll_shift(Lp, -1, MAX_COST, 1)
     delta = minLp + p2
     m = jnp.minimum(jnp.minimum(Lp, lm + p1), jnp.minimum(lp_ + p1, delta))
     return C_slab + m - delta

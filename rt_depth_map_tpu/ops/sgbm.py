@@ -248,6 +248,45 @@ def aggregate_cost(C: jnp.ndarray, p1: int, p2: int, num_paths: int) -> jnp.ndar
     return S
 
 
+def wta_uniq_subpix(
+    S: jnp.ndarray, uniqueness_ratio: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-pixel WTA + uniqueness + parabolic subpixel from an aggregated
+    cost volume S (..., D) int32. Returns (best, minS, dval_x16, bad_uniq);
+    dval excludes the min_disparity offset (caller adds minD * DISP_SCALE).
+
+    WTA ties -> smallest d via one packed-key (S, d) lane reduction (yields
+    min cost AND argmin in a single volume pass); |S| < 2^19 so S*D + d
+    fits int32. Golden parity: golden/sgbm.py WTA/uniqueness/subpixel."""
+    D = S.shape[-1]
+    ish = (1,) * (S.ndim - 1) + (D,)
+    di = jax.lax.broadcasted_iota(jnp.int32, ish, S.ndim - 1)
+    kmin = jnp.min(S * D + di, axis=-1)
+    best = kmin % D
+    minS = kmin // D
+
+    # uniqueness (SGBM form): reject if any d outside best+/-1 has
+    # S[d]*(100-ratio) < minS*100
+    outside = jnp.abs(di - best[..., None]) > 1
+    bad_uniq = jnp.any(
+        outside & (S * (100 - uniqueness_ratio) < minS[..., None] * 100),
+        axis=-1,
+    )
+
+    # parabolic subpixel (only with both neighbors in range)
+    has_nb = (best > 0) & (best < D - 1)
+    BIGS = jnp.int32(2**30)
+    sm = jnp.min(jnp.where(di == best[..., None] - 1, S, BIGS), axis=-1)
+    sp = jnp.min(jnp.where(di == best[..., None] + 1, S, BIGS), axis=-1)
+    sm = jnp.where(best > 0, sm, minS)
+    sp = jnp.where(best < D - 1, sp, minS)
+    denom2 = jnp.maximum(sm + sp - 2 * minS, 1)
+    num = (sm - sp) * DISP_SCALE + denom2
+    sub = jnp.sign(num) * (jnp.abs(num) // (denom2 * 2))
+    dval = jnp.where(has_nb, best * DISP_SCALE + sub, best * DISP_SCALE)
+    return best, minS, dval, bad_uniq
+
+
 def _lr_check_sgbm(
     disp: jnp.ndarray, best: jnp.ndarray, minS: jnp.ndarray,
     minX1: int, width1: int, min_disp: int, num_disp: int, max_diff: int,
@@ -426,35 +465,7 @@ def stereo_sgbm(
             left, right, D, cfg.block_size, minD, cfg.pre_filter_cap
         )
         S = aggregate_cost(C, p1, p2, 8 if cfg.num_paths >= 8 else 4)
-
-        # WTA: ties -> smallest d. One packed-key (S, d) lane reduction
-        # yields both the min cost and its argmin (separate argmin+min cost
-        # two full volume passes); |S| < 2^19 so S*D + d fits int32.
-        di0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
-        kmin = jnp.min(S * D + di0, axis=2)
-        best = kmin % D
-        minS = kmin // D
-
-        # uniqueness (SGBM form): reject if any d outside best+/-1 has
-        # S[d]*(100-ratio) < minS*100
-        di = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)
-        outside = jnp.abs(di - best[..., None]) > 1
-        bad_uniq = jnp.any(
-            outside & (S * (100 - cfg.uniqueness_ratio) < minS[..., None] * 100),
-            axis=2,
-        )
-
-        # parabolic subpixel (only with both neighbors in range)
-        has_nb = (best > 0) & (best < D - 1)
-        BIGS = jnp.int32(2**30)
-        sm = jnp.min(jnp.where(di == best[..., None] - 1, S, BIGS), axis=2)
-        sp = jnp.min(jnp.where(di == best[..., None] + 1, S, BIGS), axis=2)
-        sm = jnp.where(best > 0, sm, minS)
-        sp = jnp.where(best < D - 1, sp, minS)
-        denom2 = jnp.maximum(sm + sp - 2 * minS, 1)
-        num = (sm - sp) * DISP_SCALE + denom2
-        sub = jnp.sign(num) * (jnp.abs(num) // (denom2 * 2))
-        dval = jnp.where(has_nb, best * DISP_SCALE + sub, best * DISP_SCALE)
+        best, minS, dval, bad_uniq = wta_uniq_subpix(S, cfg.uniqueness_ratio)
         dval = dval + minD * DISP_SCALE
 
     disp1 = jnp.where(bad_uniq, INVALID, dval).astype(jnp.int16)
