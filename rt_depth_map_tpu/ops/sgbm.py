@@ -439,14 +439,32 @@ def stereo_sgbm(
         # SUBLANES so the per-step min-reduce/shift over D runs at the same
         # VPU rate as the vertical passes (see _horiz_dh_kernel).
         Ct = jnp.transpose(C_hdw, (2, 1, 0))  # (W1, D, H)
-        hf = sgm_horiz_pass_dh(Ct, p1, p2, reverse=False, interpret=interp)
-        if cfg.num_paths >= 8:
+        W1v = Ct.shape[0]
+        # Fused bidirectional launches (ops/pallas/sgm_bidir.py) halve the
+        # sequential step count of the 8-path aggregation: the recurrences
+        # are dependency-stall-bound, so interleaving the two opposite
+        # sweeps' chains in one kernel hides the stall. Bit-identical to
+        # the chained single-direction fallback below.
+        use_bidir = (
+            cfg.num_paths >= 8 and W1v % 8 == 0 and H % 16 == 0
+        )
+        if use_bidir:
+            from rt_depth_map_tpu.ops.pallas.sgm_bidir import (
+                sgm_horiz_bidir_dh,
+                sgm_vert_bidir_wta_hdw,
+            )
+
+            Sh_t = sgm_horiz_bidir_dh(Ct, p1, p2, interpret=interp)
+            Sh = jnp.transpose(Sh_t, (2, 1, 0))  # (H, D, W1)
+            best, minS, dval, uniq = sgm_vert_bidir_wta_hdw(
+                C_hdw, Sh, p1, p2, cfg.uniqueness_ratio, interpret=interp,
+            )
+        elif cfg.num_paths >= 8:
+            hf = sgm_horiz_pass_dh(Ct, p1, p2, reverse=False,
+                                   interpret=interp)
             Sh_t = sgm_horiz_pass_dh(Ct, p1, p2, reverse=True,
                                      partial=hf, interpret=interp)
-        else:
-            Sh_t = hf
-        Sh = jnp.transpose(Sh_t, (2, 1, 0))  # (H, D, W1)
-        if cfg.num_paths >= 8:
+            Sh = jnp.transpose(Sh_t, (2, 1, 0))  # (H, D, W1)
             Sa = sgm_down_pass_hdw(C_hdw, p1, p2, partial=Sh,
                                    interpret=interp)
             best, minS, dval, uniq = sgm_final_wta_hdw(
@@ -454,6 +472,10 @@ def stereo_sgbm(
                 interpret=interp,
             )
         else:
+            hf = sgm_horiz_pass_dh(Ct, p1, p2, reverse=False,
+                                   interpret=interp)
+            Sh_t = hf
+            Sh = jnp.transpose(Sh_t, (2, 1, 0))  # (H, D, W1)
             best, minS, dval, uniq = sgm_final_wta_hdw(
                 C_hdw, Sh, p1, p2, cfg.uniqueness_ratio, reverse=False,
                 interpret=interp,
