@@ -1,0 +1,52 @@
+"""Tiled (H, D, W1) <-> (W1, D, H) volume transpose.
+
+The Pallas SGM pipeline needs the cost volume both row-major (vertical
+passes stream (D, W1) row slabs) and x-major (horizontal passes stream
+(D, H) column slabs). XLA's lowering of the 226MB int16 swapaxes(0, 2)
+runs at ~15% of HBM bandwidth (~3.6ms/volume at 720p/D=128); this kernel
+does the same transpose as large per-d 2D tiles moved through VMEM with
+an in-register transpose, approaching the read+write bandwidth floor.
+
+Both outer dims must be lane-tileable: the wrapper requires axis0 % 8 == 0
+and axis2 % 128 == 0 on the INPUT, and the output's lane dim (= input
+axis0) % 128 == 0 -- callers pad H to a multiple of 128 once (the dh
+horizontal kernels need that padding anyway) and stay in padded-H space.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _kernel(x_ref, o_ref):
+    o_ref[:, 0, :] = jnp.transpose(x_ref[:, 0, :], (1, 0))
+
+
+def vol_transpose(x, block=384, interpret=False):
+    """swapaxes(x, 0, 2) for a 3D volume, tiled per middle-dim slice.
+
+    Equivalent to jnp.transpose(x, (2, 1, 0)); requires x.shape[0] % 128
+    == 0 and x.shape[2] % block-tileable lanes (the wrapper picks a block
+    that divides both outer dims, preferring large tiles)."""
+    A, D, B = x.shape
+    if A % 128 or B % 128:
+        return jnp.transpose(x, (2, 1, 0))
+
+    def pick(n):
+        for cand in (block, 256, 128):
+            if n % cand == 0:
+                return cand
+        return 128
+
+    ab, bb = pick(A), pick(B)
+    grid = (D, A // ab, B // bb)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((ab, 1, bb), lambda d, a, b: (a, d, b))],
+        out_specs=pl.BlockSpec((bb, 1, ab), lambda d, a, b: (b, d, a)),
+        out_shape=jax.ShapeDtypeStruct((B, D, A), x.dtype),
+        interpret=interpret,
+    )(x)

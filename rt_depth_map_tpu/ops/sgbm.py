@@ -438,8 +438,7 @@ def stereo_sgbm(
         # dispatch at 720p). The (W1, D, H) x-major layout keeps D on
         # SUBLANES so the per-step min-reduce/shift over D runs at the same
         # VPU rate as the vertical passes (see _horiz_dh_kernel).
-        Ct = jnp.transpose(C_hdw, (2, 1, 0))  # (W1, D, H)
-        W1v = Ct.shape[0]
+        W1v = C_hdw.shape[2]
         # Fused bidirectional launches (ops/pallas/sgm_bidir.py) halve the
         # sequential step count of the 8-path aggregation: the recurrences
         # are dependency-stall-bound, so interleaving the two opposite
@@ -453,13 +452,29 @@ def stereo_sgbm(
                 sgm_horiz_bidir_dh,
                 sgm_vert_bidir_wta_hdw,
             )
+            from rt_depth_map_tpu.ops.pallas.vol_transpose import (
+                vol_transpose,
+            )
 
-            Sh_t = sgm_horiz_bidir_dh(Ct, p1, p2, interpret=interp)
-            Sh = jnp.transpose(Sh_t, (2, 1, 0))  # (H, D, W1)
+            # The horizontal stage lives in 128-padded H space (its DMA
+            # slabs put H on lanes); pad once, transpose with the tiled
+            # Pallas kernel (XLA's swapaxes runs at ~15% of HBM BW), and
+            # let the vertical stage read only the first H rows of the
+            # padded Sh. Pad rows evolve independently along x (no lane
+            # mixing in the recurrence), so real rows stay bit-exact.
+            Hp = -(-H // 128) * 128
+            C_p = (
+                jnp.pad(C_hdw, ((0, Hp - H), (0, 0), (0, 0)))
+                if Hp != H else C_hdw
+            )
+            Ct_p = vol_transpose(C_p, interpret=interp)  # (W1, D, Hp)
+            Sh_t = sgm_horiz_bidir_dh(Ct_p, p1, p2, interpret=interp)
+            Sh = vol_transpose(Sh_t, interpret=interp)  # (Hp, D, W1)
             best, minS, dval, uniq = sgm_vert_bidir_wta_hdw(
                 C_hdw, Sh, p1, p2, cfg.uniqueness_ratio, interpret=interp,
             )
         elif cfg.num_paths >= 8:
+            Ct = jnp.transpose(C_hdw, (2, 1, 0))  # (W1, D, H)
             hf = sgm_horiz_pass_dh(Ct, p1, p2, reverse=False,
                                    interpret=interp)
             Sh_t = sgm_horiz_pass_dh(Ct, p1, p2, reverse=True,
@@ -472,6 +487,7 @@ def stereo_sgbm(
                 interpret=interp,
             )
         else:
+            Ct = jnp.transpose(C_hdw, (2, 1, 0))  # (W1, D, H)
             hf = sgm_horiz_pass_dh(Ct, p1, p2, reverse=False,
                                    interpret=interp)
             Sh_t = hf
