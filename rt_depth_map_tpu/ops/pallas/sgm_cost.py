@@ -33,9 +33,12 @@ def _kernel(planes_hbm, C_hbm, pin, obuf, in_sems, out_sems, *,
     i = pl.program_id(0)
     d_chunk = D // n_chunks  # disparities per output DMA
 
-    in_dma = pltpu.make_async_copy(
-        planes_hbm.at[:, pl.ds(i * R, Rh)], pin, in_sems
-    )
+    # planes_hbm is pre-sliced into overlapping stripes (12, n, Rh, Wp):
+    # indexing the untiled stripe dim frees R from the 8-sublane slice
+    # alignment an (i*R, Rh) row window would need, so R can be chosen to
+    # make Rh = R + (bs-1) land exactly on a sublane multiple (no padded
+    # dead rows in the window compute).
+    in_dma = pltpu.make_async_copy(planes_hbm.at[:, i], pin, in_sems)
     in_dma.start()
     in_dma.wait()
     # plane order: ls, lu0, lu1, lraw, lru0, lru1, rs, rv0, rv1, rraw, rrv0, rrv1
@@ -166,11 +169,20 @@ def sgm_cost_volume_pallas(
     w2 = bs // 2
     if W1 % 128 or H % 8 or D % 8:
         raise ValueError(f"(H, W1, D) = ({H}, {W1}, {D}) must tile (8, 128, 8)")
-    # 16-row stripes amortize the vertical-window overlap recompute (the
-    # padded window rows are 24/16 of output vs 16/8 at R=8) and halve the
-    # stripe count; int32 volumes fall back to R=8 to keep obuf (the full
-    # stripe x D collect buffer) within ~5MB of VMEM.
-    R = 16 if (H % 16 == 0 and jnp.dtype(dtype).itemsize == 2) else 8
+    # Stripe height: the window compute runs on Rh_pad = round8(R + bs - 1)
+    # sublanes per R output rows, so prefer the largest R (within the obuf
+    # VMEM budget) whose Rh lands exactly on a sublane multiple. At bs=5,
+    # R=20 gives Rh=24 with zero padded dead rows (1.2x window compute per
+    # output row vs 1.5x at R=16); int32 volumes use R=12 (Rh=16) to keep
+    # obuf (the full stripe x D collect buffer) within ~7MB of VMEM.
+    halo = 2 * w2
+    if jnp.dtype(dtype).itemsize == 2:
+        candidates = (24 - halo, 16, 8)
+    else:
+        candidates = (16 - halo, 8)
+    R = next((r for r in candidates if r > 0 and H % r == 0), None)
+    if R is None:
+        R = 8  # H % 8 == 0 is a documented precondition
 
     ls, lraw = sgbm_preprocess(left, ftzero)
     rs, rraw = sgbm_preprocess(right, ftzero)
@@ -180,23 +192,25 @@ def sgm_cost_volume_pallas(
     rrv0, rrv1 = _halfpix(rraw)
 
     Wp = ((W + 127) // 128) * 128
-    Rh = R + 2 * w2
+    Rh = R + halo
     Rh_pad = ((Rh + 7) // 8) * 8
 
     def prep(p):
         # replicate rows at image borders (the vertical window clamps), pad
-        # to the stripe alignment, zero-pad columns to Wp
+        # to the stripe alignment, zero-pad columns to Wp, then pre-slice
+        # the overlapping (Rh_pad)-row stripes the kernel DMAs per program
         p = jnp.concatenate(
             [jnp.repeat(p[:1], w2, axis=0), p,
              jnp.repeat(p[-1:], w2 + (Rh_pad - Rh), axis=0)],
             axis=0,
         )
-        return jnp.pad(p, ((0, 0), (0, Wp - W)))
+        p = jnp.pad(p, ((0, 0), (0, Wp - W)))
+        return jnp.stack([p[i * R : i * R + Rh_pad] for i in range(H // R)])
 
     planes = jnp.stack(
         [prep(x.astype(jnp.int32)) for x in
          (ls, lu0, lu1, lraw, lru0, lru1, rs, rv0, rv1, rraw, rrv0, rrv1)]
-    )  # (12, H + pads, Wp)
+    )  # (12, H // R, Rh_pad, Wp)
 
     n_chunks = 2 if (D // 8) % 2 == 0 else 1
     kernel = functools.partial(
