@@ -1,0 +1,24 @@
+#!/bin/bash
+# One-shot TPU measurement harvest, ordered by priority so a short tunnel
+# window still yields the most important numbers. Appends everything to
+# HARVEST_R2.txt (stdout passthrough). Each step under its own timeout so
+# a hang doesn't block the rest.
+set -u
+cd "$(dirname "$0")/.."
+LOG=HARVEST_R2.txt
+run() {
+  echo "===== $* [$(date +%H:%M:%S)] =====" | tee -a "$LOG"
+  timeout "$1" "${@:2}" 2>&1 | tee -a "$LOG"
+  echo "----- exit=$? [$(date +%H:%M:%S)]" | tee -a "$LOG"
+}
+
+# 1. flagship bench (720p SGM-128 8-path, batch 1) -> BENCH JSON line
+run 1800 python bench.py
+# 2. batch=4 multi-stream point
+run 2400 env BENCH_BATCH=4 python bench.py
+# 3. per-stage breakdown
+run 1800 python tools/profile_chain.py
+# 4. streaming-pass cost floor experiment
+run 1800 python tools/scratch_pass_floor.py
+# 5. full matrix (writes BENCH_MATRIX.json)
+run 3600 env BENCH_MATRIX=1 python bench.py
