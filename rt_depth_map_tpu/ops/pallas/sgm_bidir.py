@@ -189,7 +189,13 @@ def sgm_horiz_bidir_dh(Ct, p1, p2, interpret=False):
         return sgm_horiz_bidir_dh(Ct, p1, p2, interpret=interpret)[:, :, :H]
     p2 = max(p2, p1 + 1)
     io_dtype = Ct.dtype
+    # KB columns per DMA, shrunk until the 4 double-buffered stream
+    # buffers + 2 int32 carries fit the VMEM budget (batched calls stack
+    # frames along H, growing every buffer proportionally)
     KB = 4 if W1 % 8 == 0 else 1
+    itemsize = jnp.dtype(io_dtype).itemsize
+    while KB > 1 and 8 * KB * D * H * itemsize + 8 * D * H > 12 * 2**20:
+        KB //= 2
     if W1 % (2 * KB):
         raise ValueError(f"W1={W1} must be a multiple of {2 * KB}")
     kernel = functools.partial(

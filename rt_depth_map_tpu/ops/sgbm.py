@@ -519,3 +519,100 @@ def stereo_sgbm(
             disp, INVALID, cfg.speckle_window_size, cfg.speckle_range * DISP_SCALE
         )
     return disp
+
+
+def stereo_sgbm_batch(
+    lefts: jnp.ndarray,
+    rights: jnp.ndarray,
+    cfg: MatcherConfig,
+) -> jnp.ndarray:
+    """(B, H, W) uint8 pairs -> (B, H, W) int16 disparities, each frame
+    bit-identical to stereo_sgbm.
+
+    On the fused Pallas path the horizontal aggregation of all B frames
+    runs as ONE bidirectional launch with the frames stacked along the
+    lane (H) axis: the x recurrence never mixes lanes, so stacking is
+    exact, and the per-step dependency stall of the serial recurrence
+    amortizes over B frames' rows instead of being paid B times (the
+    multi-stream point of BASELINE.md). Cost volumes and the vertical+WTA
+    stage are per-frame lax.map (the vertical recurrence runs along the
+    stacked axis, so it cannot stack); everything downstream of WTA is
+    per-frame elementwise."""
+    B, H, W = lefts.shape
+    D = cfg.num_disparities
+    minD = cfg.min_disparity
+    W1 = W - D
+    fused = (
+        _use_pallas(cfg, H, W1 if minD == 0 else 0, D)
+        and minD == 0
+        and W1 % 128 == 0
+        and H % 16 == 0
+        and cfg.num_paths >= 8
+    )
+    if not fused:
+        return jax.lax.map(
+            lambda lr: stereo_sgbm(lr[0], lr[1], cfg), (lefts, rights)
+        )
+
+    from rt_depth_map_tpu.ops.pallas.sgm_bidir import (
+        sgm_horiz_bidir_dh,
+        sgm_vert_bidir_wta_hdw,
+    )
+    from rt_depth_map_tpu.ops.pallas.sgm_cost import sgm_cost_volume_pallas
+    from rt_depth_map_tpu.ops.pallas.vol_transpose import vol_transpose
+
+    interp = jax.default_backend() == "cpu"
+    p1 = cfg.p1
+    p2 = max(cfg.p2, p1 + 1)
+    INVALID = (minD - 1) * DISP_SCALE
+    ftzero = max(cfg.pre_filter_cap, 15) | 1
+    pix_max = 2 * ftzero + (255 >> 2)
+    vol_dtype = (
+        jnp.int16
+        if 5 * cfg.block_size * cfg.block_size * pix_max <= 32767
+        else jnp.int32
+    )
+
+    C = jax.lax.map(
+        lambda lr: sgm_cost_volume_pallas(
+            lr[0], lr[1], D, cfg.block_size, cfg.pre_filter_cap,
+            layout="hdw", dtype=vol_dtype, interpret=interp,
+        )[0],
+        (lefts, rights),
+    )  # (B, H, D, W1)
+    minX1 = D
+
+    Hp = -(-H // 128) * 128
+    C_p = (
+        jnp.pad(C, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+        if Hp != H else C
+    )
+    Ct = vol_transpose(C_p.reshape(B * Hp, D, W1), interpret=interp)
+    Sh_t = sgm_horiz_bidir_dh(Ct, p1, p2, interpret=interp)
+    Sh = vol_transpose(Sh_t, interpret=interp).reshape(B, Hp, D, W1)
+
+    best, minS, dval, uniq = jax.lax.map(
+        lambda cs: sgm_vert_bidir_wta_hdw(
+            cs[0], cs[1], p1, p2, cfg.uniqueness_ratio, interpret=interp,
+        ),
+        (C, Sh),
+    )
+
+    def tail(args):
+        bestf, minSf, dvalf, uniqf = args
+        dvalf = dvalf + minD * DISP_SCALE
+        disp1 = jnp.where(uniqf > 0, INVALID, dvalf).astype(jnp.int16)
+        disp = jnp.full((H, W), INVALID, dtype=jnp.int16)
+        disp = jax.lax.dynamic_update_slice(disp, disp1, (0, minX1))
+        if cfg.disp12_max_diff >= 0:
+            disp = _lr_check_sgbm(
+                disp, bestf, minSf, minX1, W1, minD, D, cfg.disp12_max_diff
+            )
+        if cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
+            disp = filter_speckles(
+                disp, INVALID, cfg.speckle_window_size,
+                cfg.speckle_range * DISP_SCALE,
+            )
+        return disp
+
+    return jax.lax.map(tail, (best, minS, dval, uniq))

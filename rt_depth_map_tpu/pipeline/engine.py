@@ -178,12 +178,33 @@ class Engine:
             # compile time scaled linearly with B. One chip executes the B
             # frame programs serially either way, so throughput matches the
             # unrolled form at 1/B of its compile cost.
-            def batch_fn(lefts, rights, hsv_low, hsv_high, min_size):
-                return jax.lax.map(
-                    lambda lr: frame_fn(lr[0], lr[1], hsv_low, hsv_high,
-                                        min_size),
-                    (lefts, rights),
-                )
+            if self.matcher_config.kind == "sgm":
+                from rt_depth_map_tpu.ops.sgbm import stereo_sgbm_batch
+
+                mcfg_b = self.matcher_config
+
+                def batch_fn(lefts, rights, hsv_low, hsv_high, min_size):
+                    # pre/post stay per-frame; the SGM matcher runs as ONE
+                    # batched launch stacking frames along the lane axis so
+                    # the aggregation recurrences' per-step stall amortizes
+                    # over B frames (ops/sgbm.py stereo_sgbm_batch).
+                    lrects, rrects, rgbrs, filts, boxess, _ = jax.lax.map(
+                        lambda lr: frame_fn.pre_fn(lr[0], lr[1], hsv_low,
+                                                   hsv_high, min_size),
+                        (lefts, rights),
+                    )
+                    disps = stereo_sgbm_batch(lrects, rrects, mcfg_b)
+                    return jax.lax.map(
+                        lambda a: frame_fn.post_fn(*a),
+                        (lrects, rrects, rgbrs, filts, boxess, disps),
+                    )
+            else:
+                def batch_fn(lefts, rights, hsv_low, hsv_high, min_size):
+                    return jax.lax.map(
+                        lambda lr: frame_fn(lr[0], lr[1], hsv_low, hsv_high,
+                                            min_size),
+                        (lefts, rights),
+                    )
 
             self._step_batch = jax.jit(batch_fn)
         self._frames_done = 0
@@ -216,7 +237,8 @@ class Engine:
             plan_l = plan_remap(np_l, src_hw)
             plan_r = plan_remap(np_r, src_hw)
 
-        def frame_fn(left_rgb, right_rgb, hsv_low, hsv_high, min_size):
+        def pre_fn(left_rgb, right_rgb, hsv_low, hsv_high, min_size):
+            """Rectification + detection: everything before the matcher."""
             lg = rgb_to_gray(left_rgb)
             rg = rgb_to_gray(right_rgb)
             # rectify + ROI crop (estimator.cpp:32-38). The left gray and
@@ -241,14 +263,16 @@ class Engine:
             filt = morph_open_close(mask, kernel)
             boxes = detect_objects(filt, min_size, cfg.max_objects)
             mroi = matching_region(boxes)
+            return lrect, rrect, rgbr, filt, boxes, mroi
 
+        def match_fn(lrect, rrect, mroi):
             # matcher (estimator.cpp:57; ROI2 intentionally unset --
             # the reference's /*FIXME*/ at estimator.cpp:55)
             if mcfg.kind == "sgm":
-                disp = stereo_sgbm(lrect, rrect, mcfg)
-            else:
-                disp = stereo_bm(lrect, rrect, mcfg, roi1=mroi, roi2=None)
+                return stereo_sgbm(lrect, rrect, mcfg)
+            return stereo_bm(lrect, rrect, mcfg, roi1=mroi, roi2=None)
 
+        def post_fn(lrect, rrect, rgbr, filt, boxes, disp):
             filtered = None
             if cfg.enable_post_filter:
                 # ENABLE_POST_FILTER (estimator.cpp:59-71): right-view
@@ -294,6 +318,15 @@ class Engine:
                 out["disparity_mean"] = disp_mean
             return out
 
+        def frame_fn(left_rgb, right_rgb, hsv_low, hsv_high, min_size):
+            lrect, rrect, rgbr, filt, boxes, mroi = pre_fn(
+                left_rgb, right_rgb, hsv_low, hsv_high, min_size
+            )
+            disp = match_fn(lrect, rrect, mroi)
+            return post_fn(lrect, rrect, rgbr, filt, boxes, disp)
+
+        frame_fn.pre_fn = pre_fn
+        frame_fn.post_fn = post_fn
         return frame_fn
 
     # -- host loop ---------------------------------------------------------

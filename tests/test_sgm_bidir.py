@@ -48,6 +48,28 @@ def test_vert_bidir_wta_matches_down_plus_final(rng, dtype):
                                       err_msg=name)
 
 
+def test_stereo_sgbm_batch_fused_bit_exact(rng):
+    """stereo_sgbm_batch's stacked-lane horizontal launch (backend=pallas)
+    must be bit-identical per frame to single-frame stereo_sgbm."""
+    from rt_depth_map_tpu.config import MatcherConfig
+    from rt_depth_map_tpu.ops.sgbm import stereo_sgbm, stereo_sgbm_batch
+
+    B, H, W = 3, 16, 256
+    base = rng.integers(0, 256, (B, H, W + 16)).astype(np.uint8)
+    lefts = jnp.asarray(base[:, :, :W])
+    rights = jnp.asarray(base[:, :, 9 : 9 + W])
+    cfg = MatcherConfig(
+        backend="pallas", kind="sgm", num_disparities=128, block_size=5,
+        pre_filter_cap=63, p1=600, p2=2400, num_paths=8,
+        uniqueness_ratio=10, speckle_window_size=50, speckle_range=32,
+        disp12_max_diff=1,
+    )
+    got = np.asarray(stereo_sgbm_batch(lefts, rights, cfg))
+    for b in range(B):
+        ref = np.asarray(stereo_sgbm(lefts[b], rights[b], cfg))
+        np.testing.assert_array_equal(got[b], ref, err_msg=f"frame {b}")
+
+
 def test_full_bidir_composition_taller(rng):
     """Taller-than-wide shape exercises multiple 8-row WTA blocks per
     sweep and KB-block wrap in both kernels."""
