@@ -105,7 +105,41 @@ def run_cell(W, H, D, matcher_kind, batch, frames):
     }
 
 
+def run_cell_resilient(W, H, D, matcher_kind, batch, frames):
+    """run_cell with progressive fallback: a Mosaic/compile regression in a
+    newly-landed kernel path must never leave the bench without a number.
+    Each retry flips the corresponding kill-switch env vars (consumed at
+    trace time; run_cell builds a fresh Engine per call)."""
+    fallbacks = [
+        {},
+        {"RTDM_NO_PALLAS_TRANSPOSE": "1", "RTDM_NO_PLANNED_REMAP": "1"},
+        {"RTDM_NO_BIDIR": "1", "RTDM_NO_BATCH_STACK": "1",
+         "RTDM_COST_R": "16"},
+    ]
+    applied = {}
+    for extra in fallbacks:
+        applied.update(extra)
+        os.environ.update(extra)
+        try:
+            r = run_cell(W, H, D, matcher_kind, batch, frames)
+            if applied:
+                r["extra"]["fallback_env"] = dict(applied)
+            return r
+        except Exception as e:  # noqa: BLE001 -- last tier re-raises below
+            print(f"bench cell failed ({applied or 'default'}): "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+            err = e
+    raise err
+
+
 def main():
+    # honor an explicit JAX_PLATFORMS choice even when a deployment's
+    # sitecustomize force-selects a PJRT plugin via jax.config (see cli.py)
+    _plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if _plat:
+        import jax
+
+        jax.config.update("jax_platforms", _plat)
     small = os.environ.get("BENCH_SMALL") == "1"
     matcher_kind = os.environ.get("BENCH_MATCHER", "bm" if small else "sgm")
     frames = int(os.environ.get("BENCH_FRAMES", "24"))
@@ -122,7 +156,7 @@ def main():
         ]
         results = []
         for W, H, D, kind, b in cells:
-            r = run_cell(W, H, D, kind, b, frames)
+            r = run_cell_resilient(W, H, D, kind, b, frames)
             results.append(r)
             print(json.dumps(r), flush=True)
         with open("BENCH_MATRIX.json", "w") as f:
@@ -133,7 +167,7 @@ def main():
         W, H, D = 320, 240, 64
     else:
         W, H, D = 1280, 720, 128
-    print(json.dumps(run_cell(W, H, D, matcher_kind, batch, frames)))
+    print(json.dumps(run_cell_resilient(W, H, D, matcher_kind, batch, frames)))
     return 0
 
 

@@ -30,8 +30,12 @@ def vol_transpose(x, block=384, interpret=False):
     Equivalent to jnp.transpose(x, (2, 1, 0)); requires x.shape[0] % 128
     == 0 and x.shape[2] % block-tileable lanes (the wrapper picks a block
     that divides both outer dims, preferring large tiles)."""
+    import os
+
     A, D, B = x.shape
-    if A % 128 or B % 128:
+    if A % 128 or B % 128 or os.environ.get(
+        "RTDM_NO_PALLAS_TRANSPOSE", ""
+    ) not in ("", "0"):
         return jnp.transpose(x, (2, 1, 0))
 
     def pick(n):

@@ -38,6 +38,15 @@ import jax.numpy as jnp
 from rt_depth_map_tpu.config import MatcherConfig
 from rt_depth_map_tpu.ops.speckle import filter_speckles
 
+
+def _env_flag(name: str) -> bool:
+    """Operational kill-switches for newly-landed kernel paths (bench
+    resilience: a Mosaic regression in one kernel must not take down the
+    whole pipeline -- flip the env var to fall back to the proven path)."""
+    import os
+
+    return os.environ.get(name, "") not in ("", "0")
+
 DISP_SHIFT = 4
 DISP_SCALE = 1 << DISP_SHIFT
 MAX_COST = 32767  # python int: jnp scalars at module scope become lifted consts (jit fast-path bug)
@@ -446,6 +455,7 @@ def stereo_sgbm(
         # the chained single-direction fallback below.
         use_bidir = (
             cfg.num_paths >= 8 and W1v % 8 == 0 and H % 16 == 0
+            and not _env_flag("RTDM_NO_BIDIR")
         )
         if use_bidir:
             from rt_depth_map_tpu.ops.pallas.sgm_bidir import (
@@ -548,6 +558,8 @@ def stereo_sgbm_batch(
         and W1 % 128 == 0
         and H % 16 == 0
         and cfg.num_paths >= 8
+        and not _env_flag("RTDM_NO_BIDIR")
+        and not _env_flag("RTDM_NO_BATCH_STACK")
     )
     if not fused:
         return jax.lax.map(

@@ -18,6 +18,7 @@ program (SURVEY.md section 3.4).
 from __future__ import annotations
 
 import dataclasses
+import os
 import signal
 import sys
 import time
@@ -230,7 +231,9 @@ class Engine:
         # becomes a statically-scheduled select network on TPU. plan_remap
         # returns None for warps outside its bounds -> gather fallback.
         plan_l = plan_r = None
-        if jax.default_backend() not in ("cpu",):
+        if jax.default_backend() not in ("cpu",) and os.environ.get(
+            "RTDM_NO_PLANNED_REMAP", ""
+        ) in ("", "0"):
             src_hw = self.map_left.shape[:2]  # maps are full-frame (H, W, 2)
             np_l = self.map_left[ry : ry + rh, rx : rx + rw]
             np_r = self.map_right[ry : ry + rh, rx : rx + rw]
