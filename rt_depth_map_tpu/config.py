@@ -75,6 +75,11 @@ class MatcherConfig:
     # implementation selection: "auto" benchmarks-driven, "xla" pure-JAX,
     # "pallas" hand kernel.
     backend: str = "auto"
+    # width-tiled multi-chip SGM mode (parallel/): "margin" = overlap-margin
+    # approximation (fast, tiles never talk during aggregation, ~0.1%
+    # divergence), "exact" = wavefront boundary-state exchange
+    # (parallel/exact_sgbm.py, bit-exact vs single-device at any tile width)
+    tile_mode: str = "margin"
 
     def replace(self, **kw) -> "MatcherConfig":
         return dataclasses.replace(self, **kw)

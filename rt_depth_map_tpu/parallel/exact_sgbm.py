@@ -297,6 +297,66 @@ def _default_row_block(H: int, n: int) -> int:
     return 1
 
 
+def exact_sgbm_tile_program(
+    l_loc: jnp.ndarray,
+    r_loc: jnp.ndarray,
+    cfg: MatcherConfig,
+    space_axis: str,
+    row_block: int | None = None,
+) -> jnp.ndarray:
+    """Per-device tile program (callable inside any shard_map over
+    `space_axis`; the swappable matcher-slot contract of
+    parallel/pipeline_sharded.py). l/r_loc: (H, W/n) uint8 column tiles of
+    the full rectified pair. Returns the full (H, W) int16 disparity,
+    replicated along the space axis, BIT-EXACT vs single-device
+    `ops.sgbm.stereo_sgbm`."""
+    lF = jax.lax.all_gather(l_loc, space_axis, axis=1, tiled=True)
+    rF = jax.lax.all_gather(r_loc, space_axis, axis=1, tiled=True)
+    H, W = lF.shape
+    n = jax.lax.axis_size(space_axis)
+    D = cfg.num_disparities
+    minD = cfg.min_disparity
+    minX1 = max(minD + D, 0)
+    maxX1 = W + min(minD, 0)
+    W1 = maxX1 - minX1
+    if W1 % n:
+        raise ValueError(f"W1={W1} must divide n={n} tiles")
+    Wloc = W1 // n
+    Rb = row_block if row_block is not None else _default_row_block(H, n)
+    p1 = cfg.p1
+    p2 = max(cfg.p2, p1 + 1)
+    INVALID = (minD - 1) * DISP_SCALE
+    num_paths = 8 if cfg.num_paths >= 8 else 4
+
+    idx = jax.lax.axis_index(space_axis)
+    C_loc = _tile_cost_volume(lF, rF, cfg, idx, Wloc)
+    S = _aggregate_dir(C_loc, p1, p2, 1, 0)
+    if num_paths == 8:
+        S = S + _aggregate_dir(C_loc, p1, p2, -1, 0)
+    S = S + _exact_cross_aggregate(
+        C_loc, p1, p2, num_paths, space_axis, Rb
+    )
+    best, minS, dval, bad_uniq = wta_uniq_subpix(S, cfg.uniqueness_ratio)
+    dval = dval + minD * DISP_SCALE
+    disp1_loc = jnp.where(bad_uniq, INVALID, dval).astype(jnp.int16)
+
+    disp1 = jax.lax.all_gather(disp1_loc, space_axis, axis=1, tiled=True)
+    bestF = jax.lax.all_gather(best, space_axis, axis=1, tiled=True)
+    minSF = jax.lax.all_gather(minS, space_axis, axis=1, tiled=True)
+    disp = jnp.full((H, W), INVALID, jnp.int16)
+    disp = jax.lax.dynamic_update_slice(disp, disp1, (0, minX1))
+    if cfg.disp12_max_diff >= 0:
+        disp = _lr_check_sgbm(
+            disp, bestF, minSF, minX1, W1, minD, D, cfg.disp12_max_diff
+        )
+    if cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
+        disp = filter_speckles(
+            disp, INVALID, cfg.speckle_window_size,
+            cfg.speckle_range * DISP_SCALE,
+        )
+    return disp
+
+
 def exact_tiled_stereo_sgbm(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -309,55 +369,13 @@ def exact_tiled_stereo_sgbm(
     single-device `ops.sgbm.stereo_sgbm` (XLA path). See module docstring;
     `parallel.tiled_sgbm.tiled_stereo_sgbm` is the faster approximate mode.
     """
-    H, W = left.shape
+    W = left.shape[1]
     n = mesh.shape[space_axis]
-    D = cfg.num_disparities
-    minD = cfg.min_disparity
-    minX1 = max(minD + D, 0)
-    maxX1 = W + min(minD, 0)
-    W1 = maxX1 - minX1
-    if W % n or W1 % n:
-        raise ValueError(f"W={W} and W1={W1} must divide n={n} tiles")
-    Wloc = W1 // n
-    Rb = row_block if row_block is not None else _default_row_block(H, n)
-    p1 = cfg.p1
-    p2 = max(cfg.p2, p1 + 1)
-    INVALID = (minD - 1) * DISP_SCALE
-    num_paths = 8 if cfg.num_paths >= 8 else 4
-
-    def local(l_loc, r_loc):
-        lF = jax.lax.all_gather(l_loc, space_axis, axis=1, tiled=True)
-        rF = jax.lax.all_gather(r_loc, space_axis, axis=1, tiled=True)
-        idx = jax.lax.axis_index(space_axis)
-        C_loc = _tile_cost_volume(lF, rF, cfg, idx, Wloc)
-        S = _aggregate_dir(C_loc, p1, p2, 1, 0)
-        if num_paths == 8:
-            S = S + _aggregate_dir(C_loc, p1, p2, -1, 0)
-        S = S + _exact_cross_aggregate(
-            C_loc, p1, p2, num_paths, space_axis, Rb
-        )
-        best, minS, dval, bad_uniq = wta_uniq_subpix(S, cfg.uniqueness_ratio)
-        dval = dval + minD * DISP_SCALE
-        disp1_loc = jnp.where(bad_uniq, INVALID, dval).astype(jnp.int16)
-
-        disp1 = jax.lax.all_gather(disp1_loc, space_axis, axis=1, tiled=True)
-        bestF = jax.lax.all_gather(best, space_axis, axis=1, tiled=True)
-        minSF = jax.lax.all_gather(minS, space_axis, axis=1, tiled=True)
-        disp = jnp.full((H, W), INVALID, jnp.int16)
-        disp = jax.lax.dynamic_update_slice(disp, disp1, (0, minX1))
-        if cfg.disp12_max_diff >= 0:
-            disp = _lr_check_sgbm(
-                disp, bestF, minSF, minX1, W1, minD, D, cfg.disp12_max_diff
-            )
-        if cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
-            disp = filter_speckles(
-                disp, INVALID, cfg.speckle_window_size,
-                cfg.speckle_range * DISP_SCALE,
-            )
-        return disp
-
+    if W % n:
+        raise ValueError(f"W={W} must divide n={n} tiles")
     fn = jax.shard_map(
-        local,
+        lambda a, b: exact_sgbm_tile_program(a, b, cfg, space_axis,
+                                             row_block),
         mesh=mesh,
         in_specs=(P(None, space_axis), P(None, space_axis)),
         out_specs=P(None, None),

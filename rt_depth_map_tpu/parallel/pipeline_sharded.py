@@ -85,6 +85,16 @@ def make_sharded_step(
 
         def local(lp_loc, rp_loc):  # (Bloc, H, Wloc)
             if mcfg.kind == "sgm":
+                if getattr(mcfg, "tile_mode", "margin") == "exact":
+                    from rt_depth_map_tpu.parallel.exact_sgbm import (
+                        exact_sgbm_tile_program,
+                    )
+
+                    return jax.vmap(
+                        lambda a, b: exact_sgbm_tile_program(
+                            a, b, mcfg, "space"
+                        )
+                    )(lp_loc, rp_loc)
                 return jax.vmap(
                     lambda a, b: sgbm_tile_program(a, b, mcfg, W, "space")
                 )(lp_loc, rp_loc)

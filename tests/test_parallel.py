@@ -113,3 +113,41 @@ def test_sharded_pipeline_sgm_matches_engine():
         np.testing.assert_array_equal(
             np.asarray(out["boxes"][i]), ref.boxes
         )
+
+
+def test_sharded_pipeline_sgm_exact_mode_bit_exact():
+    """tile_mode="exact" routes the sharded matcher slot through
+    parallel/exact_sgbm.py: the full sharded pipeline's disparity must be
+    BIT-identical to the single-device Engine."""
+    from rt_depth_map_tpu.config import EngineConfig
+    from rt_depth_map_tpu.parallel.pipeline_sharded import make_sharded_step
+    from rt_depth_map_tpu.pipeline import Engine
+    from rt_depth_map_tpu.sources import SyntheticStereoSource
+
+    W, H, D = 320, 32, 32
+    cfg = EngineConfig(
+        width=W, height=H, number_of_disparities=D, minimal_object_size=10,
+        matcher=MatcherConfig(
+            kind="sgm", num_disparities=D, block_size=5, num_paths=8,
+            pre_filter_cap=0, speckle_window_size=25, speckle_range=32,
+            disp12_max_diff=1, tile_mode="exact",
+        ),
+    )
+    src = SyntheticStereoSource(W, H, seed=5, num_objects=1)
+    mesh = make_mesh((2, 4))
+    step, sharding = make_sharded_step(mesh, cfg, (W, H), Q=src.q_matrix())
+
+    frames = [src.render(i)[:2] for i in range(2)]
+    L = jax.device_put(np.stack([f[0] for f in frames]), sharding)
+    R = jax.device_put(np.stack([f[1] for f in frames]), sharding)
+    out = step(L, R)
+
+    engine = Engine(cfg, source=src)
+    for i in range(2):
+        ref = engine.process_pair(*frames[i])
+        np.testing.assert_array_equal(
+            np.asarray(out["disparity"][i]), ref.disparity
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["boxes"][i]), ref.boxes
+        )
