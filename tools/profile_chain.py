@@ -53,6 +53,11 @@ def chain_time(name, step, x0, iters=20):
 
 
 def main():
+    import os
+
+    _plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if _plat:  # sitecustomize may have config-forced a PJRT plugin
+        jax.config.update("jax_platforms", _plat)
     size = sys.argv[1] if len(sys.argv) > 1 else "1280x720"
     W, H = (int(v) for v in size.split("x"))
     D = int(sys.argv[2]) if len(sys.argv) > 2 else 128
@@ -151,6 +156,96 @@ def main():
         return x ^ (jnp.sum(out.astype(jnp.int32)) & 1).astype(jnp.uint8)
 
     chain_time("remap gray", remap_step, L, iters)
+
+    # --- round-2 kernels: fused bidirectional passes, Pallas transpose,
+    # striped cost volume, batched matcher -------------------------------
+    try:
+        from rt_depth_map_tpu.ops.pallas.sgm_bidir import (
+            sgm_horiz_bidir_dh,
+            sgm_vert_bidir_wta_hdw,
+        )
+        from rt_depth_map_tpu.ops.pallas.sgm_cost import (
+            sgm_cost_volume_pallas,
+        )
+        from rt_depth_map_tpu.ops.pallas.sgm_hdw import (
+            sgm_down_pass_hdw,
+            sgm_final_wta_hdw,
+            sgm_horiz_pass_dh,
+        )
+        from rt_depth_map_tpu.ops.pallas.vol_transpose import vol_transpose
+
+        def cost_pal_step(l):
+            c = sgm_cost_volume_pallas(l, R, D, 5, 0, layout="hdw",
+                                       dtype=jnp.int16)[0]
+            return perturb(L, c)
+
+        chain_time("pallas cost (striped)", cost_pal_step, L, iters)
+
+        Ch = sgm_cost_volume_pallas(L, R, D, 5, 0, layout="hdw",
+                                    dtype=jnp.int16)[0]
+        Hp = -(-H // 128) * 128
+        Chp = jnp.pad(Ch, ((0, Hp - H), (0, 0), (0, 0)))
+        Ct0 = vol_transpose(Chp)
+
+        def vt_step(c):
+            t = vol_transpose(c)
+            return c + (jnp.min(t) & 1)
+
+        chain_time("vol_transpose (pallas)", vt_step, Chp, iters)
+
+        def xt_step(c):
+            t = jnp.transpose(c, (2, 1, 0))
+            return c + (jnp.min(t) & 1)
+
+        chain_time("vol_transpose (xla)", xt_step, Chp, iters)
+
+        def hbidir_step(c):
+            s = sgm_horiz_bidir_dh(c, 600, 2400)
+            return c + (jnp.min(s) & 1)
+
+        chain_time("horiz bidir (fused)", hbidir_step, Ct0, iters)
+
+        def h2_step(c):
+            hf = sgm_horiz_pass_dh(c, 600, 2400, reverse=False)
+            s = sgm_horiz_pass_dh(c, 600, 2400, reverse=True, partial=hf)
+            return c + (jnp.min(s) & 1)
+
+        chain_time("horiz 2-pass (old)", h2_step, Ct0, iters)
+
+        Sh0 = jnp.transpose(sgm_horiz_bidir_dh(Ct0, 600, 2400), (2, 1, 0))
+
+        def vbidir_step(c):
+            b, m, dv, u = sgm_vert_bidir_wta_hdw(c, Sh0[:H], 600, 2400, 10)
+            return c + (jnp.min(dv) & 1).astype(c.dtype)
+
+        chain_time("vert bidir+wta (fused)", vbidir_step, Ch, iters)
+
+        def v2_step(c):
+            sa = sgm_down_pass_hdw(c, 600, 2400, partial=Sh0[:H])
+            b, m, dv, u = sgm_final_wta_hdw(c, sa, 600, 2400, 10,
+                                            reverse=True)
+            return c + (jnp.min(dv) & 1).astype(c.dtype)
+
+        chain_time("vert down+final (old)", v2_step, Ch, iters)
+    except Exception as e:  # pragma: no cover
+        print("round-2 kernel stages skipped:", e)
+
+    try:
+        from rt_depth_map_tpu.ops.sgbm import stereo_sgbm_batch
+
+        B = 4
+        Ls = jnp.stack([L ^ i for i in range(B)])
+        Rs = jnp.stack([R for _ in range(B)])
+        pcfg = cfg.replace(backend="pallas")
+
+        def batch_step(ls):
+            d = stereo_sgbm_batch(ls, Rs, pcfg)
+            return ls ^ (jnp.sum(d.astype(jnp.int32)) & 1).astype(jnp.uint8)
+
+        chain_time(f"sgm8 pallas batch{B} (/frame: /{B})", batch_step, Ls,
+                   max(4, iters // 4))
+    except Exception as e:  # pragma: no cover
+        print("batched matcher stage skipped:", e)
 
 
 if __name__ == "__main__":
