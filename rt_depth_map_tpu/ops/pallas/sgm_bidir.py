@@ -192,10 +192,15 @@ def sgm_horiz_bidir_dh(Ct, p1, p2, interpret=False):
     # KB columns per DMA, shrunk until the 4 double-buffered stream
     # buffers + 2 int32 carries fit the VMEM budget (batched calls stack
     # frames along H, growing every buffer proportionally)
-    KB = 4 if W1 % 8 == 0 else 1
-    itemsize = jnp.dtype(io_dtype).itemsize
-    while KB > 1 and 8 * KB * D * H * itemsize + 8 * D * H > 12 * 2**20:
-        KB //= 2
+    import os
+
+    if os.environ.get("RTDM_HBIDIR_KB", ""):  # hardware-tuning override
+        KB = int(os.environ["RTDM_HBIDIR_KB"])
+    else:
+        KB = 4 if W1 % 8 == 0 else 1
+        itemsize = jnp.dtype(io_dtype).itemsize
+        while KB > 1 and 8 * KB * D * H * itemsize + 8 * D * H > 12 * 2**20:
+            KB //= 2
     if W1 % (2 * KB):
         raise ValueError(f"W1={W1} must be a multiple of {2 * KB}")
     kernel = functools.partial(
@@ -429,9 +434,13 @@ def sgm_vert_bidir_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
     if W1 % 128 or H % 16:
         raise ValueError(f"(H, W1) = ({H}, {W1}) must tile (16, 128)")
     assert S_partial.shape[0] >= H and S_partial.shape[1:] == (D, W1)
+    import os
+
     p2 = max(p2, p1 + 1)
     io_dtype = C.dtype
-    KB = 2
+    KB = int(os.environ.get("RTDM_VBIDIR_KB", "2"))  # hardware-tuning knob
+    if 8 % KB or H % (2 * KB):
+        raise ValueError(f"KB={KB} must divide 8 and 2*KB must divide H={H}")
     kernel = functools.partial(
         _vert_bidir_wta_kernel, H=H, W1=W1, D=D, p1=p1, p2=p2,
         uniqueness_ratio=uniqueness_ratio, io_dtype=io_dtype, KB=KB,
