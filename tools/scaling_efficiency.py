@@ -93,6 +93,26 @@ def main():
     t1 = chain_time("single-device SGM", single, L, iters)
     t8 = chain_time(f"{n}-tile sharded SGM", sharded, L, iters)
 
+    # exact mode: wavefront boundary-state exchange, zero compute
+    # inflation; its ceiling is the pipeline-fill idle fraction instead
+    from rt_depth_map_tpu.parallel.exact_sgbm import (
+        _default_row_block,
+        exact_tiled_stereo_sgbm,
+    )
+
+    ne = 8
+    while W % ne or (W - D) % ne:
+        ne //= 2
+    emesh = make_mesh((1, ne), devices=jax.devices()[:ne])
+
+    def sharded_exact(l):
+        return p16(l, exact_tiled_stereo_sgbm(l, R, cfg, emesh))
+
+    te = chain_time(f"{ne}-tile EXACT sharded SGM", sharded_exact, L, iters)
+    Rb = _default_row_block(H, ne)
+    K = H // Rb
+    fill = (ne - 1) / (K + ne - 1)
+
     # data-parallel scaling: B frames sharded over the data axis vs the
     # same B frames lax.map'd on one device -- no cross-chip dependency,
     # this is the BASELINE.md >=80% multi-chip throughput mode
@@ -129,6 +149,10 @@ def main():
           f"{t1 / t8:.2f}x on {os.cpu_count()} host cores")
     print(f"  static per-tile compute inflation {inflation:.2f}x -> "
           f"ideal-chip ceiling {100 / inflation:.0f}% at n={n}")
+    print(f"[width-tiling, EXACT mode] wall ratio t1/t{ne}: "
+          f"{t1 / te:.2f}x; zero compute inflation, pipeline-fill idle "
+          f"{100 * fill:.0f}% -> ideal-chip ceiling {100 * (1 - fill):.0f}% "
+          f"at n={ne} (row_block={Rb})")
     print(f"[data-parallel, throughput mode] {nd}-frame sharded vs serial: "
           f"{tser / tdp:.2f}x of ideal {min(nd, os.cpu_count())}x "
           f"core-limited -> per-chip efficiency proxy "
