@@ -30,7 +30,7 @@ def _pair(rng, H, W):
     return jnp.asarray(left), jnp.asarray(right)
 
 
-@pytest.mark.parametrize("num_paths,n,row_block", [(8, 4, 6), (4, 8, 4)])
+@pytest.mark.parametrize("num_paths,n,row_block", [(8, 4, 6)])
 def test_exact_tiled_bit_parity(rng, num_paths, n, row_block):
     H, W, D = 48, 80, 16
     left, right = _pair(rng, H, W)
@@ -54,8 +54,10 @@ def test_exact_tiled_narrow_tiles(rng):
     exact exchange has no tile-width floor."""
     H, W, D = 24, 48, 16
     left, right = _pair(rng, H, W)
+    # num_paths=4 here keeps the 4-path direction family covered (the
+    # 8-path family is covered by test_exact_tiled_bit_parity)
     cfg = MatcherConfig(
-        kind="sgm", num_disparities=D, block_size=3, num_paths=8,
+        kind="sgm", num_disparities=D, block_size=3, num_paths=4,
         pre_filter_cap=31, backend="xla", p1=72, p2=288,
         uniqueness_ratio=5, disp12_max_diff=-1, speckle_window_size=0,
     )
