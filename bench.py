@@ -167,7 +167,34 @@ def main():
         W, H, D = 320, 240, 64
     else:
         W, H, D = 1280, 720, 128
-    print(json.dumps(run_cell_resilient(W, H, D, matcher_kind, batch, frames)))
+
+    if small or os.environ.get("BENCH_BATCH"):
+        print(json.dumps(run_cell_resilient(W, H, D, matcher_kind, batch, frames)))
+        return 0
+
+    # Default flagship run: per-chip throughput at the BASELINE operating
+    # point is the better of single-frame dispatch and the 4-stream batched
+    # dispatch (BASELINE.md row 4; the batched SGM launch amortizes the
+    # aggregation recurrences' per-step stall over B frames). Both cells are
+    # measured and recorded; the headline is the sustained frames/s the chip
+    # delivers, math shown in extra.cells.
+    r1 = run_cell_resilient(W, H, D, matcher_kind, 1, frames)
+    try:
+        r4 = run_cell_resilient(W, H, D, matcher_kind, 4, max(frames, 8))
+    except Exception as e:  # noqa: BLE001 -- batched cell must not kill bench
+        print(f"batch=4 cell failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+        r4 = None
+    best = r1 if r4 is None or r1["value"] >= r4["value"] else r4
+    out = dict(best)
+    out["metric"] = f"fps_per_chip_{W}x{H}_{matcher_kind}{D}"
+    out["extra"] = dict(best["extra"])
+    out["extra"]["cells"] = {
+        "b1_fps": r1["value"],
+        "b4_fps": None if r4 is None else r4["value"],
+        "headline_batch": best["extra"]["batch"],
+    }
+    print(json.dumps(out))
     return 0
 
 

@@ -123,13 +123,32 @@ def main(argv: Optional[list] = None) -> int:
             args.extrinsics_file_name,
             (cfg.width, cfg.height),
         )
+        # The intrinsics-file resolution overrides the CLI size for capture
+        # and the whole pipeline, exactly like the reference's by-reference
+        # imgSize (main.cpp:87-90,116,123-125) -- while the CLI-configured
+        # size stays the denominator of the width/area-scaled derived
+        # values, like the parser's stored w/h (cmdline-parser.h:80-89).
+        if rectification.image_size != (cfg.width, cfg.height):
+            print(
+                f"intrinsics resolution override: "
+                f"{cfg.width}x{cfg.height} -> "
+                f"{rectification.image_size[0]}x{rectification.image_size[1]}"
+                f" (main.cpp:87-90 parity)",
+                file=sys.stderr,
+            )
+            cfg = cfg.replace(
+                capture_width=rectification.image_size[0],
+                capture_height=rectification.image_size[1],
+            )
 
     source = None
     if args.source == "synthetic":
         from rt_depth_map_tpu.sources import SyntheticStereoSource
 
         source = SyntheticStereoSource(
-            cfg.width, cfg.height, seed=cfg.seed,
+            cfg.capture_width or cfg.width,
+            cfg.capture_height or cfg.height,
+            seed=cfg.seed,
             encode="mjpeg" if args.mjpeg else "raw",
         )
 
@@ -137,7 +156,9 @@ def main(argv: Optional[list] = None) -> int:
 
     engine = Engine(cfg, rectification=rectification, source=source)
     print(
-        f"rt-depth-map-tpu: {cfg.width}x{cfg.height}, matcher={args.matcher}, "
+        f"rt-depth-map-tpu: "
+        f"{cfg.capture_width or cfg.width}x{cfg.capture_height or cfg.height}, "
+        f"matcher={args.matcher}, "
         f"D={engine.num_disparities}, roi={engine.roi}, "
         f"devices={[str(d) for d in __import__('jax').devices()]}",
         file=sys.stderr,

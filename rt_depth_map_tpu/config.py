@@ -96,6 +96,13 @@ class EngineConfig:
 
     width: int = 1280
     height: int = 720
+    # Actual capture/pipeline size when it differs from the configured one:
+    # the reference's intrinsics-file resolution override (main.cpp:87-90)
+    # changes imgSize (capture + pipeline) while the *configured* w/h above
+    # stay the denominators of the scale_to_width/scale_to_resolution
+    # derived values (cmdline-parser.h:80-89).
+    capture_width: Optional[int] = None
+    capture_height: Optional[int] = None
     adjustable: bool = False
     show_disparity_map: bool = True
     left_camera_device: str = "/dev/video0"

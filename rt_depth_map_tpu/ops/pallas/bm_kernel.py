@@ -188,8 +188,8 @@ def bm_cost_wta(
         grid=(n_stripes,),
         out_shape=(out,) * 5,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=tuple(
             pl.BlockSpec((R, W), lambda i: (i, 0)) for _ in range(5)

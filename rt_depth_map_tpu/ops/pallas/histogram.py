@@ -110,7 +110,7 @@ def label_histogram_pallas(
     A = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((H, W), acc_dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, _KB, _P), jnp.int32),

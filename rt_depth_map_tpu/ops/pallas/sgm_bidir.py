@@ -211,8 +211,8 @@ def sgm_horiz_bidir_dh(Ct, p1, p2, interpret=False):
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((W1, D, H), io_dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((D, H), jnp.int32),
             pltpu.VMEM((D, H), jnp.int32),
@@ -451,8 +451,8 @@ def sgm_vert_bidir_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
     outs = pl.pallas_call(
         kernel,
         out_shape=(out,) * 4 + (jax.ShapeDtypeStruct((H, D, W1), io_dtype),),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY)
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
                         for _ in range(5)),
         scratch_shapes=[carry() for _ in range(6)]
         + [buf(io_dtype) for _ in range(4)]       # crD crU shD shU

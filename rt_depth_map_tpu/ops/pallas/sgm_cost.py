@@ -225,8 +225,8 @@ def sgm_cost_volume_pallas(
         kernel,
         grid=(H // R,),
         out_shape=jax.ShapeDtypeStruct((H, D // 8, 8, W1), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((12, Rh_pad, Wp), jnp.int32),
             pltpu.VMEM(

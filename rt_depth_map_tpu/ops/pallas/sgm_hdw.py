@@ -447,8 +447,8 @@ def sgm_horiz_pass_dh(Ct, p1, p2, reverse=False, partial=None,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((W1, D, H), io_dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -488,8 +488,8 @@ def sgm_horiz_pass_hdw(Ct, p1, p2, reverse=False, partial=None,
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((W1, H, D), io_dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -524,8 +524,8 @@ def sgm_down_pass_hdw(C, p1, p2, partial=None, interpret=False):
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((H, D, W1), io_dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -549,8 +549,8 @@ def sgm_final_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
     return pl.pallas_call(
         kernel,
         out_shape=(out,) * 4,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(4)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)),
         scratch_shapes=[
             pltpu.VMEM((D, W1), jnp.int32),
             pltpu.VMEM((D, W1), jnp.int32),

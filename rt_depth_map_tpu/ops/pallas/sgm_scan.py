@@ -170,8 +170,8 @@ def sgm_aggregate_vertical(
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((H, W1, D), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(args),
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(args),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,

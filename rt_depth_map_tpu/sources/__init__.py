@@ -16,9 +16,15 @@ from rt_depth_map_tpu.sources.files import FileSequenceSource  # noqa: F401
 
 
 def make_source(cfg) -> "StereoSource":
-    """Build the configured source (reference main.cpp:125 slot)."""
+    """Build the configured source (reference main.cpp:125 slot).
+
+    Capture runs at the capture_width/height override when set (the
+    intrinsics-file resolution override, main.cpp:87-90,116,123-125) and at
+    the configured width/height otherwise."""
+    w = cfg.capture_width or cfg.width
+    h = cfg.capture_height or cfg.height
     if cfg.source == "synthetic":
-        return SyntheticStereoSource(cfg.width, cfg.height, seed=cfg.seed)
+        return SyntheticStereoSource(w, h, seed=cfg.seed)
     if cfg.source == "files":
         if not cfg.source_path:
             raise ValueError("source=files requires source_path")
@@ -27,6 +33,6 @@ def make_source(cfg) -> "StereoSource":
         from rt_depth_map_tpu.sources.v4l2 import V4L2StereoSource
 
         return V4L2StereoSource(
-            cfg.left_camera_device, cfg.right_camera_device, cfg.width, cfg.height
+            cfg.left_camera_device, cfg.right_camera_device, w, h
         )
     raise ValueError(f"unknown source {cfg.source!r}")

@@ -63,3 +63,48 @@ def test_distributed_init_noop_without_env(monkeypatch):
 
     monkeypatch.delenv("RTDM_COORDINATOR", raising=False)
     assert distributed_init() is False
+
+
+def test_intrinsics_resolution_override_semantics():
+    """The intrinsics-file resolution overrides capture/pipeline size while
+    the CLI-configured size stays the scaling denominator
+    (main.cpp:87-90,116 + cmdline-parser.h:80-89): a 320x240 calibration
+    under the default 1280-wide config must yield D=192*320/1280=48."""
+    from rt_depth_map_tpu.calib import compute_rectification
+    from rt_depth_map_tpu.sources import make_source
+
+    rect = compute_rectification(
+        "/root/reference/backup/320x240/intrinsics.yml",
+        "/root/reference/backup/320x240/extrinsics.yml",
+        (1280, 720),
+    )
+    assert rect.image_size == (320, 240)
+    cfg = EngineConfig(capture_width=320, capture_height=240)
+    src = make_source(cfg)
+    assert (src.width, src.height) == (320, 240)
+    # derived values scale from the configured size to the actual one
+    assert cfg.scaled_num_disparities(src.width) == 48
+    assert cfg.scaled_min_object_size(src.width, src.height) == 8
+
+
+def test_cli_applies_intrinsics_override(monkeypatch):
+    """config_from_args + the CLI override path set capture_* (not width),
+    so Engine sees the calibrated size and scaling stays reference-exact."""
+    from rt_depth_map_tpu import cli
+
+    args = cli.build_parser().parse_args(
+        ["-i", "/root/reference/backup/320x240/intrinsics.yml",
+         "-e", "/root/reference/backup/320x240/extrinsics.yml"]
+    )
+    cfg = cli.config_from_args(args)
+    assert (cfg.width, cfg.height) == (1280, 720)
+    from rt_depth_map_tpu.calib import compute_rectification
+
+    rect = compute_rectification(
+        args.intrinsics_file_name, args.extrinsics_file_name,
+        (cfg.width, cfg.height),
+    )
+    cfg = cfg.replace(capture_width=rect.image_size[0],
+                      capture_height=rect.image_size[1])
+    roundtrip = EngineConfig.from_dict(cfg.to_dict())
+    assert roundtrip.capture_width == 320 and roundtrip.capture_height == 240

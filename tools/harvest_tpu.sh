@@ -12,12 +12,13 @@ run() {
   echo "----- exit=$? [$(date +%H:%M:%S)]" | tee -a "$LOG"
 }
 
-# 1. flagship bench (720p SGM-128 8-path, batch 1) -> BENCH JSON line
-run 1800 python bench.py
-# 2. batch=4 multi-stream point
-run 2400 env BENCH_BATCH=4 python bench.py
-# 3. per-stage breakdown
+# 1. flagship bench (720p SGM-128 8-path; measures b1 AND b4, headline =
+#    best per-chip throughput) -> BENCH JSON line
+run 2400 python bench.py
+# 2. per-stage breakdown
 run 1800 python tools/profile_chain.py
+# 3. fused-kernel DMA block-size sweep (prints BEST knob settings)
+run 1800 python tools/tune_kb.py
 # 4. streaming-pass cost floor experiment
 run 1800 python tools/scratch_pass_floor.py
 # 5. full matrix (writes BENCH_MATRIX.json)

@@ -1,0 +1,19 @@
+#!/bin/bash
+# Poll for the axon TPU tunnel; when alive, run the priority-ordered harvest.
+cd "$(dirname "$0")/.."
+while true; do
+  if timeout 120 python - <<'PY' >/dev/null 2>&1
+import jax, numpy as np
+x = jax.numpy.ones((8, 128))
+v = float(np.asarray((x @ x.T).sum()))
+assert v == 1024.0 * 8
+PY
+  then
+    echo "tunnel ALIVE at $(date)" | tee -a HARVEST_R2.txt
+    bash tools/harvest_tpu.sh
+    echo "harvest done at $(date)" | tee -a HARVEST_R2.txt
+    exit 0
+  fi
+  echo "tunnel still down at $(date)"
+  sleep 240
+done
