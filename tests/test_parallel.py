@@ -151,3 +151,13 @@ def test_sharded_pipeline_sgm_exact_mode_bit_exact():
         np.testing.assert_array_equal(
             np.asarray(out["boxes"][i]), ref.boxes
         )
+
+
+@pytest.mark.slow
+def test_dryrun_stretch_executes():
+    """BASELINE.md stretch row (8-camera rig, 1080p-width, 256 disparities)
+    must keep compiling and running on the virtual mesh; the driver only
+    exercises dryrun_multichip, so pin the stretch config here."""
+    import __graft_entry__ as g
+
+    g.dryrun_stretch(8)
