@@ -235,9 +235,9 @@ def _vert_bidir_wta_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm,
     sweep writes its raw 3-direction sum to raw_hbm. Second half: each
     sweep reads the other's raw block, adds its own 3 directions and the
     horizontal partial Sp, and runs per-row WTA (rows [H/2, H) from the
-    down sweep, rows [0, H/2) from the up sweep). Sp_hbm may have MORE
-    than H rows (padded-H from the horizontal stage); rows >= H are never
-    read."""
+    down sweep, rows [0, H/2) from the up sweep). C_hbm and Sp_hbm may have
+    MORE than H rows (padded-H from the horizontal stage / cost out_h);
+    rows >= H are never read."""
     nb = H // KB
     half = nb // 2
     per = 8 // KB  # iterations per 8-row WTA output block
@@ -422,17 +422,21 @@ def _vert_bidir_wta_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm,
 
 
 def sgm_vert_bidir_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
-                           interpret=False):
+                           interpret=False, true_h=None):
     """Fused down3 + up3 + WTA over (H, D, W1) cost C with horizontal
     partial S_partial: one launch replacing sgm_down_pass_hdw +
     sgm_final_wta_hdw(reverse=True) bit-exactly, at half the sequential
     steps. Returns (best, minS, dval, uniq), each (H, W1) int32.
 
-    S_partial may carry extra (padded) rows beyond C's H; they are ignored
-    (the horizontal stage works in 128-padded H space)."""
-    H, D, W1 = C.shape
+    Both C and S_partial may carry extra (padded) rows beyond the true
+    image height (pass it as true_h when C is padded); rows >= true_h are
+    never read (the horizontal stage works in 128-padded H space, and the
+    cost kernel can emit that space directly via out_h)."""
+    H = C.shape[0] if true_h is None else true_h
+    D, W1 = C.shape[1], C.shape[2]
     if W1 % 128 or H % 16:
         raise ValueError(f"(H, W1) = ({H}, {W1}) must tile (16, 128)")
+    assert C.shape[0] >= H
     assert S_partial.shape[0] >= H and S_partial.shape[1:] == (D, W1)
     import os
 

@@ -154,12 +154,20 @@ def sgm_cost_volume_pallas(
     layout: str = "hwd",
     dtype=jnp.int32,
     interpret: bool = False,
+    out_h: int | None = None,
 ):
     """(C, minX1, width1) -- bit-identical to ops.sgbm.sgbm_cost_volume for
     min_disparity == 0. layout: "hwd" -> (H, W1, D) (one XLA transpose, the
     layout the lax.scan aggregation consumes); "hdw" -> the kernel-native
     (H, D, W1) (no transpose; consumed by ops/pallas/sgm_hdw.py). Requires
-    W1 % 128 == 0, H % 8 == 0, D % 8 == 0."""
+    W1 % 128 == 0, H % 8 == 0, D % 8 == 0.
+
+    out_h (hdw layout only): allocate the output with out_h >= H rows and
+    write only the first H -- rows [H, out_h) are UNDEFINED. Lets the fused
+    bidirectional path consume the volume in its 128-padded-H space without
+    an extra XLA pad copy of the full volume (pad rows evolve independently
+    through the horizontal recurrence and are never read back, so real rows
+    stay bit-exact)."""
     ftzero = max(pre_filter_cap, 15) | 1
     H, W = left.shape
     D = num_disp
@@ -169,6 +177,9 @@ def sgm_cost_volume_pallas(
     w2 = bs // 2
     if W1 % 128 or H % 8 or D % 8:
         raise ValueError(f"(H, W1, D) = ({H}, {W1}, {D}) must tile (8, 128, 8)")
+    if out_h is not None and (layout != "hdw" or out_h < H or out_h % 8):
+        raise ValueError("out_h needs layout='hdw', out_h >= H, out_h % 8 == 0")
+    Ho = H if out_h is None else out_h
     # Stripe height: the window compute runs on Rh_pad = round8(R + bs - 1)
     # sublanes per R output rows, so prefer the largest R (within the obuf
     # VMEM budget) whose Rh lands exactly on a sublane multiple. At bs=5,
@@ -224,7 +235,7 @@ def sgm_cost_volume_pallas(
     C4 = pl.pallas_call(
         kernel,
         grid=(H // R,),
-        out_shape=jax.ShapeDtypeStruct((H, D // 8, 8, W1), dtype),
+        out_shape=jax.ShapeDtypeStruct((Ho, D // 8, 8, W1), dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -238,9 +249,9 @@ def sgm_cost_volume_pallas(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(planes)
-    # (H, D//8, 8, W1) -> (H, D, W1) merges two contiguous dims whose (8,
+    # (Ho, D//8, 8, W1) -> (Ho, D, W1) merges two contiguous dims whose (8,
     # W1) tile layout is unchanged: free
-    C_hdw = C4.reshape(H, D, W1)
+    C_hdw = C4.reshape(Ho, D, W1)
     if layout == "hdw":
         return C_hdw, minX1, W1
     C = jnp.transpose(C_hdw, (0, 2, 1))

@@ -438,25 +438,31 @@ def stereo_sgbm(
             if 5 * cfg.block_size * cfg.block_size * pix_max <= 32767
             else jnp.int32
         )
-        C_hdw, minX1, width1 = sgm_cost_volume_pallas(
-            left, right, D, cfg.block_size, cfg.pre_filter_cap,
-            layout="hdw", dtype=vol_dtype, interpret=interp,
-        )
-        # horizontal passes: single-launch Pallas scans over x with the
-        # carry resident in VMEM (lax.scan paid ~15ms/frame of per-step
-        # dispatch at 720p). The (W1, D, H) x-major layout keeps D on
-        # SUBLANES so the per-step min-reduce/shift over D runs at the same
-        # VPU rate as the vertical passes (see _horiz_dh_kernel).
-        W1v = C_hdw.shape[2]
         # Fused bidirectional launches (ops/pallas/sgm_bidir.py) halve the
         # sequential step count of the 8-path aggregation: the recurrences
         # are dependency-stall-bound, so interleaving the two opposite
         # sweeps' chains in one kernel hides the stall. Bit-identical to
         # the chained single-direction fallback below.
         use_bidir = (
-            cfg.num_paths >= 8 and W1v % 8 == 0 and H % 16 == 0
+            cfg.num_paths >= 8 and (W - D) % 8 == 0 and H % 16 == 0
             and not _env_flag("RTDM_NO_BIDIR")
         )
+        # When the fused bidirectional path will run, the cost kernel emits
+        # the 128-padded-H space that path lives in directly (out_h): skips
+        # an XLA pad copy of the full volume (~0.5ms at 720p). Rows >= H
+        # are undefined but never influence real rows (no lane mixing in
+        # the horizontal recurrence; vertical+WTA reads rows < H only).
+        Hp = -(-H // 128) * 128
+        C_hdw, minX1, width1 = sgm_cost_volume_pallas(
+            left, right, D, cfg.block_size, cfg.pre_filter_cap,
+            layout="hdw", dtype=vol_dtype, interpret=interp,
+            out_h=Hp if use_bidir else None,
+        )
+        # horizontal passes: single-launch Pallas scans over x with the
+        # carry resident in VMEM (lax.scan paid ~15ms/frame of per-step
+        # dispatch at 720p). The (W1, D, H) x-major layout keeps D on
+        # SUBLANES so the per-step min-reduce/shift over D runs at the same
+        # VPU rate as the vertical passes (see _horiz_dh_kernel).
         if use_bidir:
             from rt_depth_map_tpu.ops.pallas.sgm_bidir import (
                 sgm_horiz_bidir_dh,
@@ -467,21 +473,17 @@ def stereo_sgbm(
             )
 
             # The horizontal stage lives in 128-padded H space (its DMA
-            # slabs put H on lanes); pad once, transpose with the tiled
-            # Pallas kernel (XLA's swapaxes runs at ~15% of HBM BW), and
+            # slabs put H on lanes); the cost kernel emitted C_hdw with Hp
+            # rows already (out_h above), so transpose with the tiled
+            # Pallas kernel (XLA's swapaxes runs at ~15% of HBM BW) and
             # let the vertical stage read only the first H rows of the
-            # padded Sh. Pad rows evolve independently along x (no lane
-            # mixing in the recurrence), so real rows stay bit-exact.
-            Hp = -(-H // 128) * 128
-            C_p = (
-                jnp.pad(C_hdw, ((0, Hp - H), (0, 0), (0, 0)))
-                if Hp != H else C_hdw
-            )
-            Ct_p = vol_transpose(C_p, interpret=interp)  # (W1, D, Hp)
+            # padded C and Sh.
+            Ct_p = vol_transpose(C_hdw, interpret=interp)  # (W1, D, Hp)
             Sh_t = sgm_horiz_bidir_dh(Ct_p, p1, p2, interpret=interp)
             Sh = vol_transpose(Sh_t, interpret=interp)  # (Hp, D, W1)
             best, minS, dval, uniq = sgm_vert_bidir_wta_hdw(
                 C_hdw, Sh, p1, p2, cfg.uniqueness_ratio, interpret=interp,
+                true_h=H,
             )
         elif cfg.num_paths >= 8:
             Ct = jnp.transpose(C_hdw, (2, 1, 0))  # (W1, D, H)
@@ -585,27 +587,24 @@ def stereo_sgbm_batch(
         else jnp.int32
     )
 
+    Hp = -(-H // 128) * 128
     C = jax.lax.map(
         lambda lr: sgm_cost_volume_pallas(
             lr[0], lr[1], D, cfg.block_size, cfg.pre_filter_cap,
-            layout="hdw", dtype=vol_dtype, interpret=interp,
+            layout="hdw", dtype=vol_dtype, interpret=interp, out_h=Hp,
         )[0],
         (lefts, rights),
-    )  # (B, H, D, W1)
+    )  # (B, Hp, D, W1) -- rows >= H undefined, never read back
     minX1 = D
 
-    Hp = -(-H // 128) * 128
-    C_p = (
-        jnp.pad(C, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
-        if Hp != H else C
-    )
-    Ct = vol_transpose(C_p.reshape(B * Hp, D, W1), interpret=interp)
+    Ct = vol_transpose(C.reshape(B * Hp, D, W1), interpret=interp)
     Sh_t = sgm_horiz_bidir_dh(Ct, p1, p2, interpret=interp)
     Sh = vol_transpose(Sh_t, interpret=interp).reshape(B, Hp, D, W1)
 
     best, minS, dval, uniq = jax.lax.map(
         lambda cs: sgm_vert_bidir_wta_hdw(
             cs[0], cs[1], p1, p2, cfg.uniqueness_ratio, interpret=interp,
+            true_h=H,
         ),
         (C, Sh),
     )
