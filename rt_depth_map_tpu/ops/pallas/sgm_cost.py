@@ -27,11 +27,25 @@ from jax.experimental.pallas import tpu as pltpu
 from rt_depth_map_tpu.ops.sgbm import _halfpix, sgbm_preprocess
 
 
-def _kernel(planes_hbm, C_hbm, pin, obuf, in_sems, out_sems, *,
-            R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype, n_chunks):
+def _kernel(*refs, R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype,
+            n_chunks, variant):
+    if variant == "mxuh":
+        (planes_hbm, band_hbm, C_hbm, pin, obuf, band,
+         in_sems, out_sems, band_sem) = refs
+    else:
+        planes_hbm, C_hbm, pin, obuf, in_sems, out_sems = refs
     w2 = bs // 2
     i = pl.program_id(0)
     d_chunk = D // n_chunks  # disparities per output DMA
+
+    if variant == "mxuh":
+        # banded window matrix resident in VMEM for the whole launch (the
+        # scratch persists across grid programs; filled once)
+        @pl.when(i == 0)
+        def _():
+            bdma = pltpu.make_async_copy(band_hbm, band, band_sem)
+            bdma.start()
+            bdma.wait()
 
     # planes_hbm is pre-sliced into overlapping stripes (12, n, Rh, Wp):
     # indexing the untiled stripe dim frees R from the 8-sublane slice
@@ -119,14 +133,37 @@ def _kernel(planes_hbm, C_hbm, pin, obuf, in_sems, out_sems, *,
             pix = bt(ls, lu0, lu1, right(6), right(7), right(8)) + (
                 bt(lraw, lru0, lru1, right(9), right(10), right(11)) >> 2
             )  # (Rh, W1)
-            h = horiz_win(pix)
-            # vertical window: sublane rolls + one tile-aligned slice (the
-            # h[r : r + R] slices were sublane-misaligned -> relayouts);
-            # wrapped rows land at sublane >= Rh - r >= R, outside the slice
-            vacc = h
-            for r in range(1, bs):
-                vacc = vacc + pltpu.roll(h, -r % Rh, axis=0)
-            acc = vacc[0:R]
+            # variant is a measurement knob (tools/cost_floor.py): the
+            # non-"full"/"mxuh" settings keep the loop + DMA structure but
+            # drop compute stages to expose each stage's cost in isolation.
+            if variant == "null":
+                acc = ls[0:R]
+            elif variant == "bt":
+                acc = pix[0:R]
+            else:
+                if variant == "mxuh":
+                    # horizontal replicate-border window as ONE int8 MXU
+                    # dot against the banded weight matrix (weights 1-3;
+                    # pix <= 2*ftzero + 63 <= 127 for ftzero <= 32, so
+                    # int8 products are exact; int32 accumulation)
+                    h = jax.lax.dot_general(
+                        pix.astype(jnp.int8), band[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                else:
+                    h = horiz_win(pix)
+                if variant == "bth":
+                    acc = h[0:R]
+                else:  # "full" / "mxuh": vertical window
+                    # vertical window: sublane rolls + one tile-aligned
+                    # slice (the h[r : r + R] slices were sublane-
+                    # misaligned -> relayouts); wrapped rows land at
+                    # sublane >= Rh - r >= R, outside the slice
+                    vacc = h
+                    for r in range(1, bs):
+                        vacc = vacc + pltpu.roll(h, -r % Rh, axis=0)
+                    acc = vacc[0:R]
             # dims (chunk, row, d-block, k, lane): dd indexes a non-tiled
             # dim (static k stays the sublane index)
             obuf[chunk, :, dd, k, :] = acc.astype(out_dtype)
@@ -155,6 +192,7 @@ def sgm_cost_volume_pallas(
     dtype=jnp.int32,
     interpret: bool = False,
     out_h: int | None = None,
+    _variant: str = "full",
 ):
     """(C, minX1, width1) -- bit-identical to ops.sgbm.sgbm_cost_volume for
     min_disparity == 0. layout: "hwd" -> (H, W1, D) (one XLA transpose, the
@@ -167,7 +205,13 @@ def sgm_cost_volume_pallas(
     bidirectional path consume the volume in its 128-padded-H space without
     an extra XLA pad copy of the full volume (pad rows evolve independently
     through the horizontal recurrence and are never read back, so real rows
-    stay bit-exact)."""
+    stay bit-exact).
+
+    _variant is a measurement knob (tools/cost_floor.py): "full" is
+    production; "null"/"bt"/"bth" drop compute stages to isolate their
+    cost; "mxuh" replaces the horizontal window rolls with an int8 MXU
+    banded-matrix dot (bit-exact to "full" when ftzero <= 32, i.e.
+    pre_filter_cap <= 31: pix <= 2*ftzero + 63 <= 127 fits int8)."""
     ftzero = max(pre_filter_cap, 15) | 1
     H, W = left.shape
     D = num_disp
@@ -230,25 +274,43 @@ def sgm_cost_volume_pallas(
     n_chunks = 2 if (D // 8) % 2 == 0 else 1
     kernel = functools.partial(
         _kernel, R=R, W1=W1, Wp=Wp, D=D, minX1=minX1, min_disp=0, bs=bs,
-        Rh=Rh_pad, out_dtype=dtype, n_chunks=n_chunks,
+        Rh=Rh_pad, out_dtype=dtype, n_chunks=n_chunks, variant=_variant,
     )
+    operands = [planes]
+    scratches = [
+        pltpu.VMEM((12, Rh_pad, Wp), jnp.int32),
+        pltpu.VMEM(
+            (n_chunks, R, D // 8 // n_chunks, 8, W1), dtype
+        ),
+    ]
+    sems = [
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((n_chunks,)),
+    ]
+    if _variant == "mxuh":
+        if ftzero > 32:
+            raise ValueError("mxuh requires ftzero <= 32 (int8 pix)")
+        # banded weight matrix of the width-bs replicate-border window:
+        # band[t, j] = #{k in [-w2, w2] : replicate(j + k) == t}
+        import numpy as _np
+
+        band_np = _np.zeros((W1, W1), _np.int8)
+        for j in range(W1):
+            for k in range(-w2, w2 + 1):
+                band_np[min(max(j + k, 0), W1 - 1), j] += 1
+        operands.append(jnp.asarray(band_np))
+        scratches.append(pltpu.VMEM((W1, W1), jnp.int8))
+        sems.append(pltpu.SemaphoreType.DMA(()))
     C4 = pl.pallas_call(
         kernel,
         grid=(H // R,),
         out_shape=jax.ShapeDtypeStruct((Ho, D // 8, 8, W1), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((12, Rh_pad, Wp), jnp.int32),
-            pltpu.VMEM(
-                (n_chunks, R, D // 8 // n_chunks, 8, W1), dtype
-            ),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((n_chunks,)),
-        ],
+        scratch_shapes=scratches + sems,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(planes)
+    )(*operands)
     # (Ho, D//8, 8, W1) -> (Ho, D, W1) merges two contiguous dims whose (8,
     # W1) tile layout is unchanged: free
     C_hdw = C4.reshape(Ho, D, W1)

@@ -264,3 +264,19 @@ def test_seg_min_propagate_spiral_converges():
         interpret=True,
     ))
     assert (got[act] == got[act].min()).all()  # single component, one label
+
+
+def test_cost_mxuh_variant_bit_exact():
+    # the MXU banded-matrix horizontal window (tools/cost_floor.py
+    # candidate) must stay bit-exact vs the production rolls variant
+    from rt_depth_map_tpu.ops.pallas.sgm_cost import sgm_cost_volume_pallas
+
+    rng = np.random.default_rng(7)
+    l = jnp.asarray(rng.integers(0, 256, (64, 576), dtype=np.uint8))
+    r = jnp.asarray(rng.integers(0, 256, (64, 576), dtype=np.uint8))
+    a, _, _ = sgm_cost_volume_pallas(l, r, 64, 5, 0, layout="hdw",
+                                     dtype=jnp.int16, interpret=True)
+    b, _, _ = sgm_cost_volume_pallas(l, r, 64, 5, 0, layout="hdw",
+                                     dtype=jnp.int16, interpret=True,
+                                     _variant="mxuh")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

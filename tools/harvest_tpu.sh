@@ -21,5 +21,7 @@ run 1800 python tools/profile_chain.py
 run 1800 python tools/tune_kb.py
 # 4. streaming-pass cost floor experiment
 run 1800 python tools/scratch_pass_floor.py
+# 4b. cost-volume kernel stage isolation + MXU-window candidate
+run 1800 python tools/cost_floor.py
 # 5. full matrix (writes BENCH_MATRIX.json)
 run 3600 env BENCH_MATRIX=1 python bench.py
