@@ -105,8 +105,31 @@ def main():
     if results_v:
         best_v = min(results_v, key=results_v.get)
 
-    print(f"BEST: RTDM_HBIDIR_KB={best_h} RTDM_VBIDIR_KB={best_v}",
-          flush=True)
+    results_r = {}
+    for r in (24, 20, 16, 12, 8):
+        if H % r:
+            continue
+        os.environ["RTDM_COST_R"] = str(r)
+
+        def c_step(lr):
+            l, rr = lr
+            c, _, _ = sgm_cost_volume_pallas(l, rr, D, 5, 0, layout="hdw",
+                                             dtype=jnp.int16)
+            h = (jnp.sum(c.astype(jnp.int32)) & 1).astype(jnp.uint8)
+            return l ^ h, rr ^ h
+
+        try:
+            dt = chain_time(c_step, (L, R), iters)
+        except Exception as e:  # noqa: BLE001
+            print(f"  cost R={r}: FAILED {type(e).__name__}: {e}", flush=True)
+            continue
+        results_r[r] = dt
+        print(f"  cost R={r}: {dt * 1e3:8.2f}", flush=True)
+    del os.environ["RTDM_COST_R"]
+    best_r = min(results_r, key=results_r.get) if results_r else None
+
+    print(f"BEST: RTDM_HBIDIR_KB={best_h} RTDM_VBIDIR_KB={best_v} "
+          f"RTDM_COST_R={best_r}", flush=True)
 
 
 if __name__ == "__main__":
