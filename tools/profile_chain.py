@@ -247,6 +247,43 @@ def main():
     except Exception as e:  # pragma: no cover
         print("batched matcher stage skipped:", e)
 
+    # --- planned remap vs gather remap on a REAL rectification grid,
+    # packed 4-channel as the engine dispatches it (engine.py pre_fn) ----
+    try:
+        from rt_depth_map_tpu.calib.rectify import compute_rectification
+        from rt_depth_map_tpu.ops.pallas.remap_plan import (
+            plan_remap,
+            remap_bilinear_planned,
+        )
+
+        cal = f"/root/reference/backup/{W}x{H}"
+        rect = compute_rectification(
+            f"{cal}/intrinsics.yml", f"{cal}/extrinsics.yml", (W, H)
+        )
+        rx, ry, rw, rh = rect.roi
+        grid_np = rect.map_left.astype(np.float32)[ry : ry + rh,
+                                                   rx : rx + rw]
+        plan = plan_remap(grid_np, (H, W))
+        RGBA = jnp.concatenate([L[..., None], RGB], axis=-1)
+
+        def planned_step(x):
+            out = remap_bilinear_planned(x, plan)
+            return x ^ (jnp.sum(out.astype(jnp.int32)) & 1).astype(jnp.uint8)
+
+        grid_roi = jnp.asarray(grid_np)
+
+        def gather_step(x):
+            out = remap_bilinear(x, grid_roi)
+            return x ^ (jnp.sum(out.astype(jnp.int32)) & 1).astype(jnp.uint8)
+
+        if plan is None:
+            print("planned remap: plan_remap returned None for this grid")
+        else:
+            chain_time("remap planned 4ch (roi)", planned_step, RGBA, iters)
+        chain_time("remap gather 4ch (roi)", gather_step, RGBA, iters)
+    except Exception as e:  # pragma: no cover
+        print("planned remap stage skipped:", e)
+
 
 if __name__ == "__main__":
     main()
