@@ -23,5 +23,12 @@ run 1800 python tools/tune_kb.py
 run 1800 python tools/scratch_pass_floor.py
 # 4b. cost-volume kernel stage isolation + MXU-window candidate
 run 1800 python tools/cost_floor.py
-# 5. full matrix (writes BENCH_MATRIX.json)
+# 5. Engine.run end-to-end (pipelined host loop; the stats table separates
+#    dispatch rate from the ~25ms/frame tunnel d2h RTT that a real
+#    deployment would not pay)
+run 1200 python -m rt_depth_map_tpu --source synthetic \
+  -i /root/reference/backup/1280x720/intrinsics.yml \
+  -e /root/reference/backup/1280x720/extrinsics.yml \
+  --frames 50 --stats --matcher sgm
+# 6. full matrix (writes BENCH_MATRIX.json)
 run 3600 env BENCH_MATRIX=1 python bench.py
