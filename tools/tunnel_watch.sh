@@ -12,6 +12,10 @@ PY
     echo "tunnel ALIVE at $(date)" | tee -a HARVEST_R2.txt
     bash tools/harvest_tpu.sh
     echo "harvest done at $(date)" | tee -a HARVEST_R2.txt
+    # preserve the measurement artifacts even if the session has ended
+    git add HARVEST_R2.txt BENCH_MATRIX.json 2>/dev/null
+    git commit -m "Record TPU measurement harvest (round 2)" \
+      -- HARVEST_R2.txt BENCH_MATRIX.json 2>/dev/null
     exit 0
   fi
   echo "tunnel still down at $(date)"
