@@ -26,6 +26,28 @@ _lib = None
 _build_error: Optional[str] = None
 
 
+def build_locked(target: str = "") -> None:
+    """Run `make -C native [target]` under a cross-process file lock.
+
+    The Makefile compiles straight to the .so (no .o intermediates), so two
+    concurrent makes of the same target would interleave writes into the
+    output; parallel test workers (pytest-xdist) hit exactly that. flock
+    serializes them; the lock file lives next to the Makefile."""
+    import fcntl
+
+    with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR] + ([target] if target else []),
+                check=True,
+                capture_output=True,
+                text=True,
+            )
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_error
     with _lock:
@@ -33,12 +55,7 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if not os.path.exists(_LIB_PATH):
             try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
-                    check=True,
-                    capture_output=True,
-                    text=True,
-                )
+                build_locked()
             except (subprocess.CalledProcessError, OSError) as e:
                 _build_error = getattr(e, "stderr", str(e)) or str(e)
                 return None

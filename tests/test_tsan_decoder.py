@@ -68,11 +68,12 @@ def _find_libtsan():
 
 @pytest.mark.skipif(_find_libtsan() is None, reason="libtsan not installed")
 def test_decode_pool_race_free_under_tsan():
-    build = subprocess.run(
-        ["make", "-C", NATIVE_DIR, "tsan"], capture_output=True, text=True
-    )
-    if build.returncode != 0:
-        pytest.skip(f"tsan build failed: {build.stderr[-300:]}")
+    from rt_depth_map_tpu.decode.native import build_locked
+
+    try:
+        build_locked("tsan")  # file-locked: xdist workers may build too
+    except (subprocess.CalledProcessError, OSError) as e:
+        pytest.skip(f"tsan build failed: {getattr(e, 'stderr', e)}"[:400])
     env = dict(os.environ, LD_PRELOAD=_find_libtsan())
     env["TSAN_OPTIONS"] = "halt_on_error=0 exitcode=66"
     proc = subprocess.run(
