@@ -173,7 +173,7 @@ def _use_pallas_bm(cfg: MatcherConfig, H: int, W: int) -> bool:
     TPU backend with compatible shapes (min_disparity=0 only)."""
     shapes_ok = (
         W % 128 == 0 and H % 8 == 0 and cfg.min_disparity == 0
-        and cfg.num_disparities >= 4
+        and cfg.num_disparities >= 8 and cfg.num_disparities % 8 == 0
     )
     if not shapes_ok:
         return False
@@ -211,7 +211,8 @@ def stereo_bm(
         from rt_depth_map_tpu.ops.pallas.bm_kernel import bm_cost_wta
 
         best_i, best_cost, c_m1k, c_p1k, min_out = bm_cost_wta(
-            lp, rp, D, bs, interpret=jax.default_backend() == "cpu"
+            lp, rp, D, bs, interpret=jax.default_backend() == "cpu",
+            pre_filter_cap=cfg.pre_filter_cap,
         )
         cost = None
     else:

@@ -45,6 +45,32 @@ def test_bm_pallas_matches_xla(full_checks):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize(
+    "env",
+    [
+        {"RTDM_BM_R": "16"},
+        {"RTDM_BM_VARIANT": "mxuh"},
+        {"RTDM_BM_R": "16", "RTDM_BM_VARIANT": "mxuh"},
+    ],
+)
+def test_bm_pallas_knobs_bit_exact(env, monkeypatch):
+    # The stripe-height / MXU-window measurement knobs must not change a
+    # single output bit (they only restructure the window summation).
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    left, right = stereo_pair(11, 16, 256, 7)
+    kw = dict(
+        kind="bm", num_disparities=16, block_size=13, pre_filter_cap=31,
+        texture_threshold=10, uniqueness_ratio=10, speckle_window_size=50,
+        speckle_range=32, disp12_max_diff=1,
+    )
+    ref = stereo_bm(jnp.asarray(left), jnp.asarray(right),
+                    MatcherConfig(backend="xla", **kw))
+    got = stereo_bm(jnp.asarray(left), jnp.asarray(right),
+                    MatcherConfig(backend="pallas", **kw))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 @pytest.mark.parametrize("paths", [4, 8])
 def test_sgm_pallas_matches_xla(paths):
     # Pallas SGM path wants D % 128 == 0, (W - D) % 128 == 0, H % 8 == 0,

@@ -128,8 +128,41 @@ def main():
     del os.environ["RTDM_COST_R"]
     best_r = min(results_r, key=results_r.get) if results_r else None
 
+    # BM kernel: stripe height x window variant (ops/pallas/bm_kernel.py)
+    from rt_depth_map_tpu.ops.pallas.bm_kernel import bm_cost_wta
+    from rt_depth_map_tpu.ops.prefilter import xsobel_prefilter
+
+    lp = xsobel_prefilter(L, 31)
+    rp = xsobel_prefilter(R, 31)
+    jax.block_until_ready((lp, rp))
+    results_bm = {}
+    for var in ("full", "mxuh"):
+        os.environ["RTDM_BM_VARIANT"] = var
+        for r in (8, 16, 24, 48):
+            if H % r:
+                continue
+            os.environ["RTDM_BM_R"] = str(r)
+
+            def bm_step(lr):
+                l, rr = lr
+                outs = bm_cost_wta(l, rr, D, 13, pre_filter_cap=31)
+                h = (sum(o.sum() for o in outs) & 1).astype(l.dtype)
+                return l ^ h, rr ^ h
+
+            try:
+                dt = chain_time(bm_step, (lp, rp), iters)
+            except Exception as e:  # noqa: BLE001
+                print(f"  bm {var} R={r}: FAILED {type(e).__name__}: {e}",
+                      flush=True)
+                continue
+            results_bm[(var, r)] = dt
+            print(f"  bm {var} R={r}: {dt * 1e3:8.2f}", flush=True)
+    del os.environ["RTDM_BM_VARIANT"], os.environ["RTDM_BM_R"]
+    best_bm = min(results_bm, key=results_bm.get) if results_bm else (None,) * 2
+
     print(f"BEST: RTDM_HBIDIR_KB={best_h} RTDM_VBIDIR_KB={best_v} "
-          f"RTDM_COST_R={best_r}", flush=True)
+          f"RTDM_COST_R={best_r} RTDM_BM_VARIANT={best_bm[0]} "
+          f"RTDM_BM_R={best_bm[1]}", flush=True)
 
 
 if __name__ == "__main__":
