@@ -48,6 +48,31 @@ def test_vert_bidir_wta_matches_down_plus_final(rng, dtype):
                                       err_msg=name)
 
 
+@pytest.mark.parametrize("hkb,vkb", [(1, 1), (2, 4), (4, 2), (8, 8)])
+def test_bidir_kb_knobs_bit_exact(rng, hkb, vkb, monkeypatch):
+    """Every RTDM_HBIDIR_KB / RTDM_VBIDIR_KB value the TPU sweep
+    (tools/tune_kb.py) can select must be bit-exact -- the knobs only
+    change the DMA block sizes, never the recurrence."""
+    monkeypatch.setenv("RTDM_HBIDIR_KB", str(hkb))
+    monkeypatch.setenv("RTDM_VBIDIR_KB", str(vkb))
+    H, D, W1 = 32, 16, 128
+    C = _cost(rng, H, D, W1, jnp.int16)
+    Ct = jnp.transpose(C, (2, 1, 0))
+    hf = sgm_horiz_pass_dh(Ct, P1, P2, reverse=False, interpret=True)
+    ref_h = sgm_horiz_pass_dh(Ct, P1, P2, reverse=True, partial=hf,
+                              interpret=True)
+    got_h = sgm_horiz_bidir_dh(Ct, P1, P2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_h), np.asarray(ref_h))
+
+    Sh = jnp.transpose(ref_h, (2, 1, 0))
+    Sa = sgm_down_pass_hdw(C, P1, P2, partial=Sh, interpret=True)
+    ref = sgm_final_wta_hdw(C, Sa, P1, P2, 10, reverse=True, interpret=True)
+    got = sgm_vert_bidir_wta_hdw(C, Sh, P1, P2, 10, interpret=True)
+    for g, r, name in zip(got, ref, ("best", "minS", "dval", "uniq")):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r),
+                                      err_msg=name)
+
+
 def test_stereo_sgbm_batch_fused_bit_exact(rng):
     """stereo_sgbm_batch's stacked-lane horizontal launch (backend=pallas)
     must be bit-identical per frame to single-frame stereo_sgbm."""

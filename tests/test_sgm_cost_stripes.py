@@ -37,3 +37,20 @@ def test_cost_volume_stripe_heights(H, dtype):
     )
     assert (minX1, W1) == (minX1p, W1p)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("R", [8, 12, 16, 24])
+def test_cost_volume_env_stripe_override(R, monkeypatch):
+    """Every RTDM_COST_R value the TPU sweep (tools/tune_kb.py) can select
+    must be bit-exact -- the knob only changes the stripe blocking."""
+    monkeypatch.setenv("RTDM_COST_R", str(R))
+    H, W, D, bs = 48, 192, 64, 5
+    left, right = pair(5, H, W)
+    ref, _, _ = sgbm_cost_volume(
+        jnp.asarray(left), jnp.asarray(right), D, bs, 0, 63
+    )
+    got, _, _ = sgm_cost_volume_pallas(
+        jnp.asarray(left), jnp.asarray(right), D, bs,
+        pre_filter_cap=63, layout="hwd", dtype=jnp.int16, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
