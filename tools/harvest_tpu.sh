@@ -17,8 +17,9 @@ run() {
 run 2400 python bench.py
 # 2. per-stage breakdown
 run 1800 python tools/profile_chain.py
-# 3. fused-kernel DMA block-size sweep (prints BEST knob settings)
-run 1800 python tools/tune_kb.py
+# 3. fused-kernel DMA block-size + BM stripe/variant sweep (prints BEST
+#    knob settings; ~19 configs, each a fresh trace+compile)
+run 2700 python tools/tune_kb.py
 # 4. streaming-pass cost floor experiment
 run 1800 python tools/scratch_pass_floor.py
 # 4b. cost-volume kernel stage isolation + MXU-window candidate
