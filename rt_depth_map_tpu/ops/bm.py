@@ -106,7 +106,8 @@ def _shift_cols_i32(a: jnp.ndarray, n: int, fill: int) -> jnp.ndarray:
 
 
 def _lr_check(disp: jnp.ndarray, cost: jnp.ndarray, min_disp: int,
-              num_disp: int, max_diff: int) -> jnp.ndarray:
+              num_disp: int, max_diff: int, use_pallas: bool = False,
+              interpret: bool = False) -> jnp.ndarray:
     """cv::validateDisparity parity (see golden/postproc.py).
 
     Formulated as shift-reduces instead of the per-pixel scatter-min + gather
@@ -114,7 +115,13 @@ def _lr_check(disp: jnp.ndarray, cost: jnp.ndarray, min_disp: int,
     pixels are exactly {x2 + dd : d_int[x2 + dd] == dd}, so the winner is a
     min over D+2 statically shifted masked key planes. The packed
     (cost, d32) key reproduces the sequential first-lowest-cost, leftmost-
-    wins order because within a bin the left x ascends with d32."""
+    wins order because within a bin the left x ascends with d32.
+
+    use_pallas: run both shift-reduces as the single in-VMEM Pallas kernel
+    (ops/pallas/lr_resolve.py, bit-exact) instead of ~2*(D+2) full-plane
+    HBM slices."""
+    import os
+
     H, W = disp.shape
     invalid = (min_disp - 1) * DISP_SCALE
     d32 = disp.astype(jnp.int32)
@@ -130,6 +137,21 @@ def _lr_check(disp: jnp.ndarray, cost: jnp.ndarray, min_disp: int,
     SENT = jnp.iinfo(jnp.int32).min
     key = cost * Dpow + (d32 + off)
     key = jnp.where(in_range, key, BIG)
+
+    if (
+        use_pallas and min_disp == 0 and W % 128 == 0 and H % 8 == 0
+        and not os.environ.get("RTDM_NO_PALLAS_LR")
+    ):
+        from rt_depth_map_tpu.ops.pallas.lr_resolve import lr_resolve_pallas
+
+        (rb,) = lr_resolve_pallas(
+            d_int, key, (d_int,), n_w=num_disp + 1, r_lo=0,
+            n_r=num_disp + 1, Dpow=Dpow, c0=-off, invalid=invalid,
+            interpret=interpret,
+        )
+        disp2_at = jnp.where(in_range, rb, invalid)
+        bad = ok & in_range & (jnp.abs(disp2_at - d32) > max_diff * DISP_SCALE)
+        return jnp.where(bad, jnp.asarray(invalid, disp.dtype), disp)
 
     # Both shift-reduces run as fori_loops over the candidate disparities
     # with dynamic slices of once-padded planes (a D-unrolled loop here cost
@@ -292,7 +314,11 @@ def stereo_bm(
     disp = jnp.where(valid & tex_ok & ~uniq_bad, packed, INVALID).astype(jnp.int16)
 
     if cfg.disp12_max_diff >= 0:
-        disp = _lr_check(disp, best_cost, minD, D, cfg.disp12_max_diff)
+        disp = _lr_check(
+            disp, best_cost, minD, D, cfg.disp12_max_diff,
+            use_pallas=use_pallas,
+            interpret=jax.default_backend() == "cpu",
+        )
     if cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
         disp = filter_speckles(
             disp, INVALID, cfg.speckle_window_size, cfg.speckle_range * DISP_SCALE

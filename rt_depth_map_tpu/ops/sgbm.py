@@ -299,6 +299,7 @@ def wta_uniq_subpix(
 def _lr_check_sgbm(
     disp: jnp.ndarray, best: jnp.ndarray, minS: jnp.ndarray,
     minX1: int, width1: int, min_disp: int, num_disp: int, max_diff: int,
+    use_pallas: bool = False, interpret: bool = False,
 ) -> jnp.ndarray:
     """Inline SGBM left-right check (golden lines: disp2 from integer bestDisp
     with minS cost; invalidate when BOTH floor and ceil candidates disagree).
@@ -336,6 +337,41 @@ def _lr_check_sgbm(
     d_intW = jnp.full((H, W), SENT, jnp.int32)
     d_intW = jax.lax.dynamic_update_slice(d_intW, d_int, (0, minX1))
 
+    xsW = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ok_range = (xsW >= minX1) & (xsW < minX1 + width1)
+    d1 = d16
+    validW = ok_range & (d1 != INVALID)
+    _d = d1 >> DISP_SHIFT
+    d_ = (d1 + DISP_SCALE - 1) >> DISP_SHIFT
+    _x = xsW - _d
+    x_ = xsW - d_
+    oka = (_x >= 0) & (_x < W)
+    okb = (x_ >= 0) & (x_ < W)
+
+    import os
+
+    if (
+        use_pallas and min_disp == 0 and W % 128 == 0 and H % 8 == 0
+        and not os.environ.get("RTDM_NO_PALLAS_LR")
+    ):
+        # both shift-reduces as one in-VMEM Pallas kernel (bit-exact;
+        # ops/pallas/lr_resolve.py)
+        from rt_depth_map_tpu.ops.pallas.lr_resolve import lr_resolve_pallas
+
+        d2a, d2b = lr_resolve_pallas(
+            d_intW, keyW, (_d, d_), n_w=num_disp, r_lo=min_disp - 1,
+            n_r=num_disp + 2, Dpow=Dpow, c0=min_disp, invalid=INVALID,
+            interpret=interpret,
+        )
+        d2a = jnp.where(oka, d2a, INVALID)
+        d2b = jnp.where(okb, d2b, INVALID)
+        bad = (
+            validW
+            & oka & (d2a >= min_disp) & (jnp.abs(d2a - _d) > max_diff)
+            & okb & (d2b >= min_disp) & (jnp.abs(d2b - d_) > max_diff)
+        )
+        return jnp.where(bad, jnp.asarray(INVALID, disp.dtype), disp)
+
     M = num_disp + abs(min_disp) + 2
     d_intW_pad = jnp.pad(d_intW, ((0, 0), (M, M)), constant_values=SENT)
     keyW_pad = jnp.pad(keyW, ((0, 0), (M, M)), constant_values=BIGKEY)
@@ -355,15 +391,6 @@ def _lr_check_sgbm(
     # validate every computed-range pixel against both floor & ceil
     # candidates via two more shift-reduces (_d and d_ each span at most
     # [minD-1, minD+D]).
-    xsW = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    ok_range = (xsW >= minX1) & (xsW < minX1 + width1)
-    d1 = d16
-    validW = ok_range & (d1 != INVALID)
-    _d = d1 >> DISP_SHIFT
-    d_ = (d1 + DISP_SCALE - 1) >> DISP_SHIFT
-    _x = xsW - _d
-    x_ = xsW - d_
-
     disp2_pad = jnp.pad(disp2, ((0, 0), (M, M)), constant_values=INVALID)
 
     def rb_body(i, acc):
@@ -377,8 +404,6 @@ def _lr_check_sgbm(
         (jnp.full((H, W), INVALID, jnp.int32),
          jnp.full((H, W), INVALID, jnp.int32)),
     )
-    oka = (_x >= 0) & (_x < W)
-    okb = (x_ >= 0) & (x_ < W)
     d2a = jnp.where(oka, d2a, INVALID)
     d2b = jnp.where(okb, d2b, INVALID)
     bad = (
@@ -524,7 +549,9 @@ def stereo_sgbm(
 
     if cfg.disp12_max_diff >= 0:
         disp = _lr_check_sgbm(
-            disp, best, minS, minX1, width1, minD, D, cfg.disp12_max_diff
+            disp, best, minS, minX1, width1, minD, D, cfg.disp12_max_diff,
+            use_pallas=use_pallas,
+            interpret=jax.default_backend() == "cpu",
         )
     if cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
         disp = filter_speckles(
@@ -617,7 +644,8 @@ def stereo_sgbm_batch(
         disp = jax.lax.dynamic_update_slice(disp, disp1, (0, minX1))
         if cfg.disp12_max_diff >= 0:
             disp = _lr_check_sgbm(
-                disp, bestf, minSf, minX1, W1, minD, D, cfg.disp12_max_diff
+                disp, bestf, minSf, minX1, W1, minD, D, cfg.disp12_max_diff,
+                use_pallas=True, interpret=interp,
             )
         if cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
             disp = filter_speckles(

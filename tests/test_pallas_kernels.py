@@ -51,6 +51,8 @@ def test_bm_pallas_matches_xla(full_checks):
         {"RTDM_BM_R": "16"},
         {"RTDM_BM_VARIANT": "mxuh"},
         {"RTDM_BM_R": "16", "RTDM_BM_VARIANT": "mxuh"},
+        {"RTDM_LR_R": "16"},
+        {"RTDM_NO_PALLAS_LR": "1"},
     ],
 )
 def test_bm_pallas_knobs_bit_exact(env, monkeypatch):
