@@ -90,8 +90,13 @@ def main():
         ("sgm8 pallas full", cfg.replace(backend="pallas")),
         ("sgm8 pallas nopost", nop.replace(backend="pallas")),
         ("sgm4 pallas full", cfg.replace(backend="pallas", num_paths=4)),
-        ("bm full", bcfg),
-        ("bm nopost", bcfg.replace(speckle_window_size=0, disp12_max_diff=-1)),
+        ("bm pallas full", bcfg.replace(backend="pallas")),
+        ("bm pallas nopost", bcfg.replace(backend="pallas",
+                                          speckle_window_size=0,
+                                          disp12_max_diff=-1)),
+        ("bm xla full", bcfg),
+        ("bm xla nopost", bcfg.replace(speckle_window_size=0,
+                                       disp12_max_diff=-1)),
     ]:
         fn = stereo_bm if c.kind == "bm" else stereo_sgbm
         chain_time(name, matcher_step(lambda l, r, c=c, fn=fn: fn(l, r, c)), L,
@@ -104,6 +109,22 @@ def main():
         return d ^ (jnp.sum(out.astype(jnp.int32)) & 1).astype(jnp.int16)
 
     chain_time("speckle", speckle_step, disp0, iters)
+
+    # LR consistency check in isolation: the in-VMEM Pallas kernel vs the
+    # XLA shift-reduce loops (ops/pallas/lr_resolve.py)
+    from rt_depth_map_tpu.ops.bm import _lr_check
+
+    cost0 = jnp.asarray(rng.integers(0, 1 << 18, (H, W)), jnp.int32)
+
+    def lr_step(use_pallas):
+        def step(d):
+            out = _lr_check(d, cost0, 0, D, 1, use_pallas=use_pallas,
+                            interpret=jax.default_backend() == "cpu")
+            return d ^ (jnp.sum(out.astype(jnp.int32)) & 1).astype(jnp.int16)
+        return step
+
+    chain_time("lr_check pallas", lr_step(True), disp0, iters)
+    chain_time("lr_check xla", lr_step(False), disp0, iters)
 
     mask0 = jnp.asarray((rng.random((H, W)) < 0.01).astype(np.uint8) * 255)
 
