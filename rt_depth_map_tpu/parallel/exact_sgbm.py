@@ -346,8 +346,14 @@ def exact_sgbm_tile_program(
     disp = jnp.full((H, W), INVALID, jnp.int16)
     disp = jax.lax.dynamic_update_slice(disp, disp1, (0, minX1))
     if cfg.disp12_max_diff >= 0:
+        # bit-exact in-VMEM LR kernel; same gate as the single-device path
+        lr_pallas = cfg.backend == "pallas" or (
+            cfg.backend == "auto" and jax.default_backend() != "cpu"
+        )
         disp = _lr_check_sgbm(
-            disp, bestF, minSF, minX1, W1, minD, D, cfg.disp12_max_diff
+            disp, bestF, minSF, minX1, W1, minD, D, cfg.disp12_max_diff,
+            use_pallas=lr_pallas,
+            interpret=jax.default_backend() == "cpu",
         )
     if cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
         disp = filter_speckles(

@@ -172,7 +172,16 @@ def bm_tile_program(
     disp_full = jax.lax.all_gather(disp_t, space_axis, axis=1, tiled=True)
     cost_full = jax.lax.all_gather(cost_t, space_axis, axis=1, tiled=True)
     if cfg.disp12_max_diff >= 0:
-        disp_full = _lr_check(disp_full, cost_full, minD, D, cfg.disp12_max_diff)
+        # the in-VMEM LR kernel is bit-exact, so tile-vs-single parity is
+        # unaffected; gate exactly like the single-device matcher
+        lr_pallas = cfg.backend == "pallas" or (
+            cfg.backend == "auto" and jax.default_backend() != "cpu"
+        )
+        disp_full = _lr_check(
+            disp_full, cost_full, minD, D, cfg.disp12_max_diff,
+            use_pallas=lr_pallas,
+            interpret=jax.default_backend() == "cpu",
+        )
     if cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
         disp_full = filter_speckles(
             disp_full, INVALID, cfg.speckle_window_size,

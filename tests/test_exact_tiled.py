@@ -83,3 +83,22 @@ def test_exact_tiled_default_row_block(rng):
         mesh = make_mesh((1, n), devices=jax.devices()[:n])
         got = np.asarray(exact_tiled_stereo_sgbm(left, right, cfg, mesh))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_exact_tiled_pallas_lr_in_shard_map(rng):
+    """backend="pallas" at a Pallas-compatible shape: the in-VMEM LR-check
+    kernel (ops/pallas/lr_resolve.py) runs INSIDE the shard_map tile
+    program (interpret mode on the CPU mesh) and must keep bit parity with
+    the single-device pallas matcher."""
+    H, W, D = 16, 256, 128
+    left, right = _pair(rng, H, W)
+    cfg = MatcherConfig(
+        kind="sgm", num_disparities=D, block_size=5, num_paths=8,
+        pre_filter_cap=63, backend="pallas", p1=600, p2=2400,
+        uniqueness_ratio=10, disp12_max_diff=1,
+        speckle_window_size=50, speckle_range=32,
+    )
+    ref = np.asarray(stereo_sgbm(left, right, cfg))
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+    got = np.asarray(exact_tiled_stereo_sgbm(left, right, cfg, mesh))
+    np.testing.assert_array_equal(got, ref)
