@@ -11,5 +11,6 @@ rows with double-buffered DMA instead.
 """
 
 from rt_depth_map_tpu.ops.pallas.bm_kernel import bm_cost_wta  # noqa: F401
+from rt_depth_map_tpu.ops.pallas.lr_resolve import lr_resolve_pallas  # noqa: F401
 from rt_depth_map_tpu.ops.pallas.sgm_cost import sgm_cost_volume_pallas  # noqa: F401
 from rt_depth_map_tpu.ops.pallas.sgm_scan import sgm_aggregate_vertical  # noqa: F401
