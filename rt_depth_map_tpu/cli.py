@@ -111,6 +111,19 @@ def main(argv: Optional[list] = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", _plat)
+    # Persistent compilation cache: the flagship device program costs
+    # minutes of XLA+Mosaic compile per process (verify skill notes); the
+    # disk cache makes that a one-time cost across CLI runs. Opt out with
+    # RTDM_COMPILE_CACHE=0, redirect with RTDM_COMPILE_CACHE=<dir>.
+    _cache = os.environ.get(
+        "RTDM_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/rt_depth_map_tpu/jax"),
+    )
+    if _cache and _cache != "0":
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
