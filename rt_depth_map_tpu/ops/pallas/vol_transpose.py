@@ -21,19 +21,23 @@ from jax.experimental import pallas as pl
 
 
 def _kernel(x_ref, o_ref):
-    o_ref[:, 0, :] = jnp.transpose(x_ref[:, 0, :], (1, 0))
+    # 8 middle-dim slices per program: Mosaic requires the last two block
+    # dims to be (8, 128)-tileable, so the d dim is blocked by 8 (static
+    # in-block slice indices) instead of 1
+    for i in range(8):
+        o_ref[:, i, :] = jnp.transpose(x_ref[:, i, :], (1, 0))
 
 
 def vol_transpose(x, block=384, interpret=False):
-    """swapaxes(x, 0, 2) for a 3D volume, tiled per middle-dim slice.
+    """swapaxes(x, 0, 2) for a 3D volume, tiled per 8 middle-dim slices.
 
     Equivalent to jnp.transpose(x, (2, 1, 0)); requires x.shape[0] % 128
-    == 0 and x.shape[2] % block-tileable lanes (the wrapper picks a block
-    that divides both outer dims, preferring large tiles)."""
+    == 0, x.shape[2] % 128 == 0 and x.shape[1] % 8 == 0 (the wrapper picks
+    outer-dim blocks that divide both, preferring large tiles)."""
     import os
 
     A, D, B = x.shape
-    if A % 128 or B % 128 or os.environ.get(
+    if A % 128 or B % 128 or D % 8 or os.environ.get(
         "RTDM_NO_PALLAS_TRANSPOSE", ""
     ) not in ("", "0"):
         return jnp.transpose(x, (2, 1, 0))
@@ -45,12 +49,12 @@ def vol_transpose(x, block=384, interpret=False):
         return 128
 
     ab, bb = pick(A), pick(B)
-    grid = (D, A // ab, B // bb)
+    grid = (D // 8, A // ab, B // bb)
     return pl.pallas_call(
         _kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((ab, 1, bb), lambda d, a, b: (a, d, b))],
-        out_specs=pl.BlockSpec((bb, 1, ab), lambda d, a, b: (b, d, a)),
+        in_specs=[pl.BlockSpec((ab, 8, bb), lambda d, a, b: (a, d, b))],
+        out_specs=pl.BlockSpec((bb, 8, ab), lambda d, a, b: (b, d, a)),
         out_shape=jax.ShapeDtypeStruct((B, D, A), x.dtype),
         interpret=interpret,
     )(x)
