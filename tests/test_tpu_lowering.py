@@ -122,3 +122,13 @@ def test_remap_planned_lowers():
     _export(
         lambda x: remap_bilinear_planned(x, plan), s((H, W), jnp.uint8)
     )
+
+
+def test_flagship_frame_program_lowers():
+    """Composition-level guard: the full 720p SGM-128 8-path frame program
+    (rectify + matcher + filter + reproject, every Pallas kernel at its
+    production shape) exports for TPU."""
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    _export(fn, *args)
