@@ -86,3 +86,37 @@ def test_wls_fills_invalid_from_confident_neighbors():
     out = np.asarray(out)
     # the hole is filled toward the surrounding disparity
     assert abs(out[15, 30] / 16.0 - 12.0) < 2.0
+
+
+def test_tridiag_sweep_matches_dense_solve(rng):
+    """Numeric oracle for the Thomas-algorithm sweep: solve the same
+    (W_conf + lam*L) u = W_conf x system densely with numpy per row
+    (independent construction of the weighted 1-D Laplacian)."""
+    from rt_depth_map_tpu.ops.wls import _tridiag_smooth_rows
+
+    H, W = 6, 40
+    lam, sigma = 37.5, 1.5
+    x = rng.normal(size=(H, W)).astype(np.float32) * 10
+    conf = rng.uniform(0.01, 1.0, size=(H, W)).astype(np.float32)
+    guide = rng.integers(0, 256, (H, W)).astype(np.uint8)
+
+    got = np.asarray(
+        _tridiag_smooth_rows(
+            jnp.asarray(x), jnp.asarray(conf), jnp.asarray(guide), lam, sigma
+        )
+    )
+
+    g = guide.astype(np.float64)
+    wgt = np.exp(-np.abs(g[:, 1:] - g[:, :-1]) / sigma)
+    for y in range(H):
+        A = np.zeros((W, W))
+        for j in range(W):
+            A[j, j] = conf[y, j]
+            if j > 0:
+                A[j, j] += lam * wgt[y, j - 1]
+                A[j, j - 1] = -lam * wgt[y, j - 1]
+            if j < W - 1:
+                A[j, j] += lam * wgt[y, j]
+                A[j, j + 1] = -lam * wgt[y, j]
+        u = np.linalg.solve(A, conf[y] * x[y])
+        np.testing.assert_allclose(got[y], u, rtol=2e-3, atol=2e-3)
