@@ -159,3 +159,27 @@ def test_batch4_program_lowers():
         jnp.int32(eng.min_object_size),
     )
     assert len(exp.mlir_module_serialized) > 0
+
+
+def test_fallback_sgm_kernels_lower():
+    """The RTDM_NO_BIDIR / 4-path fallbacks route through the
+    single-direction kernels; keep their TPU lowering pinned too."""
+    from rt_depth_map_tpu.ops.pallas.sgm_hdw import (
+        sgm_down_pass_hdw,
+        sgm_final_wta_hdw,
+        sgm_horiz_pass_dh,
+    )
+    from rt_depth_map_tpu.ops.pallas.sgm_scan import sgm_aggregate_vertical
+
+    Ct = s((128, 128, 128), jnp.int16)  # (W1, D, Hp)
+    _export(lambda c: sgm_horiz_pass_dh(c, 600, 2400, reverse=False), Ct)
+    C = s((16, 128, 128), jnp.int16)  # (H, D, W1)
+    _export(lambda c: sgm_down_pass_hdw(c, 600, 2400), C)
+    _export(
+        lambda c, sp: sgm_final_wta_hdw(c, sp, 600, 2400, 10, reverse=True),
+        C, C,
+    )
+    Chwd = s((16, 128, 128), jnp.int32)  # (H, W1, D)
+    _export(
+        lambda c: sgm_aggregate_vertical(c, 600, 2400, reverse=False), Chwd
+    )
