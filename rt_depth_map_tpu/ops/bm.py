@@ -140,7 +140,7 @@ def _lr_check(disp: jnp.ndarray, cost: jnp.ndarray, min_disp: int,
 
     if (
         use_pallas and min_disp == 0 and W % 128 == 0 and H % 8 == 0
-        and not os.environ.get("RTDM_NO_PALLAS_LR")
+        and os.environ.get("RTDM_NO_PALLAS_LR", "") in ("", "0")
     ):
         from rt_depth_map_tpu.ops.pallas.lr_resolve import lr_resolve_pallas
 

@@ -27,7 +27,7 @@ validity masking / subpixel packing / texture test remain elementwise XLA
 (cheap), keeping this kernel bit-compatible with ops/bm.py stereo_bm
 (cv::StereoBM semantics as configured at reference bm-sw.cpp:16-25).
 
-Measurement knobs (harvested by tools/tune_kb.py / tools/cost_floor.py):
+Measurement knobs (swept by tools/tune_kb.py):
   RTDM_BM_R       -- output rows per stripe (default 8; must divide H and
                      be a multiple of 8). Larger stripes amortize the
                      per-iteration loop overhead over 2-4x more vector work.
@@ -208,10 +208,13 @@ def bm_cost_wta(
     D = num_disp
     bs = block_size
     w2 = bs // 2
-    R = 8
-    if os.environ.get("RTDM_BM_R", ""):  # measurement / operational override
-        R = int(os.environ["RTDM_BM_R"])
-    if R % 8 or H % R:
+    # measurement / operational override; any malformed or incompatible
+    # value degrades to the default stripe height instead of raising
+    try:
+        R = int(os.environ.get("RTDM_BM_R", "8"))
+    except ValueError:
+        R = 8
+    if R <= 0 or R % 8 or H % R:
         R = 8
     variant = os.environ.get("RTDM_BM_VARIANT", "full")
     if variant == "mxuh" and pre_filter_cap > 63:

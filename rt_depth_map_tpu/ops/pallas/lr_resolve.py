@@ -124,10 +124,12 @@ def lr_resolve_pallas(
         raise ValueError(f"(H, W) = ({H}, {W}) must tile (8, 128)")
     if Dpow & (Dpow - 1):
         raise ValueError("Dpow must be a power of two (Mosaic-safe masking)")
-    R = 8
-    if os.environ.get("RTDM_LR_R", ""):
-        R = int(os.environ["RTDM_LR_R"])
-    if R % 8 or H % R:
+    # malformed or incompatible values degrade to the default stripe height
+    try:
+        R = int(os.environ.get("RTDM_LR_R", "8"))
+    except ValueError:
+        R = 8
+    if R <= 0 or R % 8 or H % R:
         R = 8
 
     max_dd = max(n_w - 1, r_lo + n_r - 1)

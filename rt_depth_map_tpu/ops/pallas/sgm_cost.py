@@ -237,8 +237,10 @@ def sgm_cost_volume_pallas(
         candidates = (16 - halo, 8)
     import os
 
-    if os.environ.get("RTDM_COST_R", ""):  # operational override
+    try:  # operational override; malformed values keep the default set
         candidates = (int(os.environ["RTDM_COST_R"]),)
+    except (KeyError, ValueError):
+        pass
     R = next((r for r in candidates if r > 0 and H % r == 0), None)
     if R is None:
         R = 8  # H % 8 == 0 is a documented precondition

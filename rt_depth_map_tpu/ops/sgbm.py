@@ -352,7 +352,7 @@ def _lr_check_sgbm(
 
     if (
         use_pallas and min_disp == 0 and W % 128 == 0 and H % 8 == 0
-        and not os.environ.get("RTDM_NO_PALLAS_LR")
+        and not _env_flag("RTDM_NO_PALLAS_LR")
     ):
         # both shift-reduces as one in-VMEM Pallas kernel (bit-exact;
         # ops/pallas/lr_resolve.py)

@@ -41,6 +41,24 @@ def test_tiled_bm_bit_exact(n_space):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_tiled_bm_pallas_lr_in_shard_map():
+    """backend="pallas" at a Pallas-compatible shape: the BM variant of the
+    in-VMEM LR-check kernel (n_w=D+1, r_lo=0, Dpow=8192) runs INSIDE the
+    shard_map tile program (interpret on the CPU mesh) and must keep the
+    tile-vs-single bit parity."""
+    left, right = stereo_pair(3, 16, 256, 7)
+    cfg = MatcherConfig(
+        num_disparities=16, block_size=9, backend="pallas",
+        disp12_max_diff=1, speckle_window_size=50, speckle_range=32,
+    )
+    ref = np.asarray(stereo_bm(jnp.asarray(left), jnp.asarray(right), cfg))
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+    out = np.asarray(
+        tiled_stereo_bm(jnp.asarray(left), jnp.asarray(right), cfg, mesh)
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_tiled_bm_halo_guard():
     left, right = stereo_pair(1, 32, 128, 5)
     cfg = MatcherConfig(num_disparities=64, block_size=9)

@@ -160,9 +160,34 @@ def main():
     del os.environ["RTDM_BM_VARIANT"], os.environ["RTDM_BM_R"]
     best_bm = min(results_bm, key=results_bm.get) if results_bm else (None,) * 2
 
+    # LR-check kernel stripe height (ops/pallas/lr_resolve.py)
+    from rt_depth_map_tpu.ops.bm import _lr_check
+
+    disp16 = jnp.asarray(rng.integers(-16, 16 * D, (H, W)), jnp.int16)
+    cost32 = jnp.asarray(rng.integers(0, 1 << 18, (H, W)), jnp.int32)
+    results_lr = {}
+    for r in (8, 16, 24, 48):
+        if H % r:
+            continue
+        os.environ["RTDM_LR_R"] = str(r)
+
+        def lr_step(d):
+            out = _lr_check(d, cost32, 0, D, 1, use_pallas=True)
+            return d ^ (jnp.sum(out.astype(jnp.int32)) & 1).astype(jnp.int16)
+
+        try:
+            dt = chain_time(lr_step, disp16, iters)
+        except Exception as e:  # noqa: BLE001
+            print(f"  lr R={r}: FAILED {type(e).__name__}: {e}", flush=True)
+            continue
+        results_lr[r] = dt
+        print(f"  lr R={r}: {dt * 1e3:8.2f}", flush=True)
+    del os.environ["RTDM_LR_R"]
+    best_lr = min(results_lr, key=results_lr.get) if results_lr else None
+
     print(f"BEST: RTDM_HBIDIR_KB={best_h} RTDM_VBIDIR_KB={best_v} "
           f"RTDM_COST_R={best_r} RTDM_BM_VARIANT={best_bm[0]} "
-          f"RTDM_BM_R={best_bm[1]}", flush=True)
+          f"RTDM_BM_R={best_bm[1]} RTDM_LR_R={best_lr}", flush=True)
 
 
 if __name__ == "__main__":
