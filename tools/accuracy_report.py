@@ -1,0 +1,113 @@
+"""Bad-pixel accuracy vs the OpenCV-configured reference matchers.
+
+Produces the judged accuracy table (BASELINE.md: <= 1% bad-pixel delta on
+deterministic synthetic sequences at 320x240 / 640x480 / 1280x720):
+both matchers at each resolution, disparities width-scaled exactly like
+the reference CLI (cmdline-parser.h:85-89, 192 at 1280 wide), averaged
+over N seeded frames. Runs entirely on CPU (the XLA matcher path is
+bit-identical to the goldens; the Pallas path is bit-exact to XLA by
+test) -- no TPU needed, so the numbers hold for any backend.
+
+Usage: python tools/accuracy_report.py [n_frames]  (markdown to stdout)
+"""
+
+import os
+import sys
+
+# The interpreter's sitecustomize may have force-selected a TPU PJRT
+# plugin BEFORE this module runs (a dead tunnel then hangs the first
+# computation); setting the env post-start is too late, so re-exec with
+# the platform pinned. This tool is CPU-only by design.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
+
+import cv2
+
+from rt_depth_map_tpu.config import MatcherConfig
+from rt_depth_map_tpu.metrics import disparity_report
+from rt_depth_map_tpu.ops.bm import stereo_bm
+from rt_depth_map_tpu.ops.sgbm import stereo_sgbm
+from rt_depth_map_tpu.sources import SyntheticStereoSource
+
+
+def cv_matcher(kind, D, bs):
+    if kind == "sgm":
+        m = cv2.StereoSGBM_create(0, D, bs)
+        m.setP1(8 * 3 * bs * bs)
+        m.setP2(32 * 3 * bs * bs)
+        m.setUniquenessRatio(10)
+        m.setSpeckleWindowSize(100)
+        m.setSpeckleRange(32)
+        m.setDisp12MaxDiff(1)
+        m.setPreFilterCap(0)
+    else:
+        m = cv2.StereoBM_create(D, bs)
+        m.setPreFilterCap(31)
+        m.setTextureThreshold(10)
+        m.setUniquenessRatio(10)
+        m.setSpeckleWindowSize(100)
+        m.setSpeckleRange(32)
+        m.setDisp12MaxDiff(1)
+    return m
+
+
+def our_cfg(kind, D, bs):
+    if kind == "sgm":
+        return MatcherConfig(
+            kind="sgm", num_disparities=D, block_size=bs, num_paths=4,
+            pre_filter_cap=0, p1=8 * 3 * bs * bs, p2=32 * 3 * bs * bs,
+            uniqueness_ratio=10, speckle_window_size=100, speckle_range=32,
+            disp12_max_diff=1, backend="xla",
+        )
+    return MatcherConfig(
+        kind="bm", num_disparities=D, block_size=bs, pre_filter_cap=31,
+        texture_threshold=10, uniqueness_ratio=10, speckle_window_size=100,
+        speckle_range=32, disp12_max_diff=1, backend="xla",
+    )
+
+
+def main():
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    print("| resolution | matcher | D | bad-pixel vs cv2 | budget |")
+    print("|---|---|---|---|---|")
+    worst = 0.0
+    for W, H in ((320, 240), (640, 480), (1280, 720)):
+        # reference width-scaled disparities (cmdline-parser.h:85-89),
+        # rounded to the cv2-required multiple of 16
+        D = max(16, (192 * W // 1280) // 16 * 16)
+        src = SyntheticStereoSource(W, H, seed=7)
+        for kind, bs in (("bm", 13), ("sgm", 5)):
+            cvm = cv_matcher(kind, D, bs)
+            cfg = our_cfg(kind, D, bs)
+            fn = jax.jit(
+                lambda l, r, c=cfg: (stereo_bm if c.kind == "bm"
+                                     else stereo_sgbm)(l, r, c)
+            )
+            fracs = []
+            for i in range(n_frames):
+                left, right, _, _ = src.render(i)
+                lg = cv2.cvtColor(left, cv2.COLOR_RGB2GRAY)
+                rg = cv2.cvtColor(right, cv2.COLOR_RGB2GRAY)
+                ref = cvm.compute(lg, rg)
+                got = np.asarray(fn(jnp.asarray(lg), jnp.asarray(rg)))
+                rep = disparity_report(got, ref, invalid=-16)
+                fracs.append(rep["bad_pixel_fraction"])
+            bad = float(np.mean(fracs))
+            worst = max(worst, bad)
+            ok = "PASS" if bad <= 0.01 else "FAIL"
+            print(f"| {W}x{H} | {kind} | {D} | {bad * 100:.3f}% | "
+                  f"<=1% {ok} |", flush=True)
+    print(f"\nworst cell: {worst * 100:.3f}% (budget 1%)")
+    return 0 if worst <= 0.01 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
