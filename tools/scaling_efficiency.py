@@ -20,7 +20,11 @@ Usage: python tools/scaling_efficiency.py [WxH] [D] [iters]
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# sitecustomize may force-select a TPU plugin at interpreter start; this
+# proxy is CPU-mesh-only by design, so re-exec with the platform pinned
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
