@@ -140,6 +140,13 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", _plat)
+    # hardware-tuned kernel knobs (TUNED.env, written from the tune_kb
+    # sweep's BEST line; bit-exactness-pinned, explicit env wins)
+    from rt_depth_map_tpu.tuned import apply_tuned_env
+
+    tuned = apply_tuned_env()
+    if tuned:
+        print(f"# applied TUNED.env: {tuned}", file=sys.stderr)
     small = os.environ.get("BENCH_SMALL") == "1"
     matcher_kind = os.environ.get("BENCH_MATCHER", "bm" if small else "sgm")
     frames = int(os.environ.get("BENCH_FRAMES", "24"))

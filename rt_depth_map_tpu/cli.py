@@ -124,6 +124,10 @@ def main(argv: Optional[list] = None) -> int:
 
         jax.config.update("jax_compilation_cache_dir", _cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # hardware-tuned kernel knobs (TUNED.env; explicit env vars win)
+    from rt_depth_map_tpu.tuned import apply_tuned_env
+
+    apply_tuned_env()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 

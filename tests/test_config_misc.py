@@ -108,3 +108,17 @@ def test_cli_applies_intrinsics_override(monkeypatch):
                       capture_height=rect.image_size[1])
     roundtrip = EngineConfig.from_dict(cfg.to_dict())
     assert roundtrip.capture_width == 320 and roundtrip.capture_height == 240
+import os
+def test_apply_tuned_env(tmp_path, monkeypatch):
+    from rt_depth_map_tpu.tuned import apply_tuned_env
+    f = tmp_path / "TUNED.env"
+    f.write_text("# comment\nRTDM_BM_R=16\nRTDM_LR_R=None\nEVIL=1\nRTDM_COST_R=12\n")
+    monkeypatch.delenv("RTDM_BM_R", raising=False)
+    monkeypatch.setenv("RTDM_COST_R", "20")  # explicit env wins
+    monkeypatch.delenv("EVIL", raising=False)
+    applied = apply_tuned_env(str(f))
+    assert applied == {"RTDM_BM_R": "16"}
+    assert os.environ["RTDM_BM_R"] == "16"
+    assert os.environ["RTDM_COST_R"] == "20"
+    assert "EVIL" not in os.environ
+    monkeypatch.delenv("RTDM_BM_R", raising=False)

@@ -18,8 +18,27 @@ run 2400 python bench.py
 # 2. per-stage breakdown
 run 1800 python tools/profile_chain.py
 # 3. fused-kernel DMA block-size + BM stripe/variant sweep (prints BEST
-#    knob settings; ~19 configs, each a fresh trace+compile)
+#    knob settings; ~22 configs, each a fresh trace+compile)
 run 2700 python tools/tune_kb.py
+# 3b. persist the sweep result: bench.py and the CLI load TUNED.env
+#     (bit-exactness-pinned knobs; explicit env still wins)
+BEST=$(grep '^BEST:' "$LOG" | tail -1 | sed 's/^BEST: //')
+if [ -n "$BEST" ]; then
+  {
+    echo "# written by tools/harvest_tpu.sh from the tune_kb BEST line"
+    for kv in $BEST; do
+      case "$kv" in
+        *=None) ;;  # sweep skipped/failed for this knob
+        RTDM_*=*) echo "$kv" ;;
+      esac
+    done
+  } > TUNED.env
+  echo "TUNED.env written:" | tee -a "$LOG"
+  tee -a "$LOG" < TUNED.env
+  git add TUNED.env 2>/dev/null
+  git commit -m "Apply hardware-tuned kernel knobs from the TPU sweep" \
+    -- TUNED.env 2>/dev/null
+fi
 # 4. streaming-pass cost floor experiment
 run 1800 python tools/scratch_pass_floor.py
 # 4b. cost-volume kernel stage isolation + MXU-window candidate
