@@ -140,6 +140,36 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", _plat)
+    # Device watchdog: a dead TPU tunnel hangs the first computation in C
+    # (uninterruptible), so probe in a killable subprocess first and emit a
+    # diagnostic JSON line instead of hanging the whole bench run.
+    if os.environ.get("BENCH_NO_PROBE") != "1":
+        import subprocess
+
+        err = ""
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import os, jax;"
+                 "p = os.environ.get('JAX_PLATFORMS', '').strip().lower();"
+                 "p and jax.config.update('jax_platforms', p);"
+                 "import numpy as np; x = jax.numpy.ones((8, 128));"
+                 "assert float(np.asarray((x @ x.T).sum())) == 8192.0"],
+                timeout=180, capture_output=True, check=False,
+                env=os.environ,
+            )
+            if probe.returncode != 0:
+                err = "probe failed: " + probe.stderr.decode()[-300:]
+        except subprocess.TimeoutExpired:
+            err = "probe timed out after 180s (dead device tunnel?)"
+        if err:
+            print(json.dumps({
+                "metric": "fps_1280x720_sgm128_8path", "value": 0.0,
+                "unit": "frames/s", "vs_baseline": 0.0,
+                "extra": {"error": err},
+            }))
+            return
+
     # hardware-tuned kernel knobs (TUNED.env, written from the tune_kb
     # sweep's BEST line; bit-exactness-pinned, explicit env wins)
     from rt_depth_map_tpu.tuned import apply_tuned_env
