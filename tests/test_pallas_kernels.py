@@ -308,3 +308,30 @@ def test_cost_mxuh_variant_bit_exact():
                                      dtype=jnp.int16, interpret=True,
                                      _variant="mxuh")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize(
+    "seed,D,bs,cap,tex,uniq,sws,d12",
+    [
+        (21, 8, 5, 15, 0, 0, 0, -1),
+        (22, 24, 7, 63, 5, 15, 30, 0),
+        (23, 32, 11, 31, 20, 5, 80, 2),
+        (24, 48, 15, 40, 10, 10, 100, 1),
+        (25, 16, 21, 25, 0, 25, 60, 1),
+    ],
+)
+def test_bm_pallas_cross_config_parity(seed, D, bs, cap, tex, uniq, sws, d12):
+    """Randomized operating points across the whole BM config space --
+    every (window, disparity-count, cap, check-threshold) combination must
+    keep the fused kernel bit-exact vs the XLA path."""
+    left, right = stereo_pair(seed, 24, 256, seed % 11)
+    kw = dict(
+        kind="bm", num_disparities=D, block_size=bs, pre_filter_cap=cap,
+        texture_threshold=tex, uniqueness_ratio=uniq,
+        speckle_window_size=sws, speckle_range=16, disp12_max_diff=d12,
+    )
+    ref = stereo_bm(jnp.asarray(left), jnp.asarray(right),
+                    MatcherConfig(backend="xla", **kw))
+    got = stereo_bm(jnp.asarray(left), jnp.asarray(right),
+                    MatcherConfig(backend="pallas", **kw))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
