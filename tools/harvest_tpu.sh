@@ -50,5 +50,10 @@ run 1200 python -m rt_depth_map_tpu --source synthetic \
   -i /root/reference/backup/1280x720/intrinsics.yml \
   -e /root/reference/backup/1280x720/extrinsics.yml \
   --frames 50 --stats --matcher sgm
-# 6. full matrix (writes BENCH_MATRIX.json)
+# 6. full matrix (writes BENCH_MATRIX.json; picks up TUNED.env from 3b)
 run 3600 env BENCH_MATRIX=1 python bench.py
+# 7. tuned headline re-bench (step 1 ran before TUNED.env existed; this
+#    line is the tuned-vs-untuned comparison for the README table)
+if [ -f TUNED.env ]; then
+  run 2400 python bench.py
+fi
