@@ -140,6 +140,19 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", _plat)
+    # Persistent compilation cache, same policy as the CLI (cli.py): the
+    # first flagship compile is minutes of XLA+Mosaic work; later bench
+    # invocations (tuned re-bench, matrix cells, CI re-runs) reuse it.
+    # extra.compile_s therefore reports the cold cost only on a cold cache.
+    _cache = os.environ.get(
+        "RTDM_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/rt_depth_map_tpu/jax"),
+    )
+    if _cache and _cache != "0":
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # Device watchdog: a dead TPU tunnel hangs the first computation in C
     # (uninterruptible), so probe in a killable subprocess first and emit a
     # diagnostic JSON line instead of hanging the whole bench run.
