@@ -199,8 +199,11 @@ def _kernel(r0_blk, blen, w0neg, base0, smin, slen,   # SMEM tables
             planes_hbm, r0rel, tplane, opack, out,    # tensor operands
             band, vbuf, pvbuf, in_sem, *, C, NK, BH, W2P, WINW, NCB):
     b = pl.program_id(0)
+    # the planner aligns every band start to a multiple of 8 (sublane
+    # tiling); Mosaic cannot prove that for a runtime SMEM value, so hint it
     dma = pltpu.make_async_copy(
-        planes_hbm.at[:, pl.ds(r0_blk[b], BH)], band, in_sem)
+        planes_hbm.at[:, pl.ds(pl.multiple_of(r0_blk[b], 8), BH)],
+        band, in_sem)
     dma.start()
     dma.wait()
 
