@@ -11,12 +11,24 @@ folds each into a running checksum, and pulls ONE scalar at the end -- the
 pull cannot complete before every (serially executed) frame program has.
 Distinct pre-rendered frames are fed each iteration.
 
+Resilience (round-3 redesign; round 2 lost its headline to one failing
+compile, VERDICT.md items 1/4):
+  * every cell runs in its OWN subprocess (`bench.py --cell ...`) with a
+    hard timeout, so a hung tunnel or a permanently-failing Mosaic compile
+    costs one bounded attempt, never the whole bench budget;
+  * each kill-switch tier is an exact env for that subprocess (no
+    accumulation leaks into the parent);
+  * every completed cell is appended to BENCH_CELLS.json IMMEDIATELY --
+    partial progress survives any later failure.
+
 Env:
   BENCH_SMALL=1    tiny shapes (CI/CPU sanity: 320x240 BM-64)
   BENCH_MATCHER    "sgm" (default) | "bm"
   BENCH_BATCH      frames per device dispatch (default 1; BASELINE multi-
                    stream point is 4)
   BENCH_FRAMES     timed frames (default 24)
+  BENCH_CELL_TIMEOUT  seconds per cell attempt (default 1800)
+  BENCH_INPROC=1   run cells in-process (no subprocess isolation)
   BENCH_MATRIX=1   run the full matrix (BM/SGM x {320x240, 1280x720} x
                    {b1, b4}), print one JSON line per cell, and write
                    BENCH_MATRIX.json
@@ -24,10 +36,13 @@ Env:
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+CELLS_FILE = "BENCH_CELLS.json"
 
 
 def run_cell(W, H, D, matcher_kind, batch, frames):
@@ -105,34 +120,85 @@ def run_cell(W, H, D, matcher_kind, batch, frames):
     }
 
 
+# kill-switch ladder: each tier disarms one subsystem's Pallas kernels on
+# top of the previous tier (all consumed at trace time). A Mosaic/compile
+# regression in a newly-landed kernel path must never leave the bench
+# without a number (ops/sgbm.py kill-switch policy).
+FALLBACK_TIERS = [
+    {},
+    {"RTDM_NO_PALLAS_CC": "1"},
+    {"RTDM_NO_PALLAS_TRANSPOSE": "1", "RTDM_NO_PLANNED_REMAP": "1"},
+    {"RTDM_NO_BIDIR": "1", "RTDM_NO_BATCH_STACK": "1", "RTDM_COST_R": "16"},
+]
+
+
+def _record_cell(result):
+    """Append a completed cell to CELLS_FILE immediately (atomic rewrite):
+    partial progress must survive a later hang/failure."""
+    cells = []
+    try:
+        with open(CELLS_FILE) as f:
+            cells = json.load(f)
+    except (OSError, ValueError):
+        pass
+    cells.append(result)
+    tmp = CELLS_FILE + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cells, f, indent=1)
+    os.replace(tmp, CELLS_FILE)
+
+
+def _cell_subprocess(W, H, D, kind, batch, frames, env_extra, timeout):
+    """Run one cell attempt in a subprocess; returns (result|None, err)."""
+    env = dict(os.environ)
+    env.update(env_extra)
+    cmd = [sys.executable, os.path.abspath(__file__), "--cell",
+           f"{W},{H},{D},{kind},{batch},{frames}"]
+    try:
+        p = subprocess.run(cmd, capture_output=True, timeout=timeout,
+                           env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout}s"
+    if p.returncode != 0:
+        tail = p.stderr.decode(errors="replace")[-400:].replace("\n", " | ")
+        return None, f"rc={p.returncode}: {tail}"
+    for line in reversed(p.stdout.decode(errors="replace").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), ""
+            except ValueError:
+                continue
+    return None, "no JSON line in cell output"
+
+
 def run_cell_resilient(W, H, D, matcher_kind, batch, frames):
-    """run_cell with progressive fallback: a Mosaic/compile regression in a
-    newly-landed kernel path must never leave the bench without a number.
-    Each retry flips the corresponding kill-switch env vars (consumed at
-    trace time; run_cell builds a fresh Engine per call)."""
-    fallbacks = [
-        {},
-        {"RTDM_NO_PALLAS_TRANSPOSE": "1", "RTDM_NO_PLANNED_REMAP": "1"},
-        {"RTDM_NO_BIDIR": "1", "RTDM_NO_BATCH_STACK": "1",
-         "RTDM_COST_R": "16"},
-    ]
+    """run_cell with per-attempt subprocess isolation + progressive
+    kill-switch fallback. Returns the result dict or raises after the last
+    tier. Every successful cell is persisted to CELLS_FILE immediately."""
+    if os.environ.get("BENCH_INPROC") == "1":
+        r = run_cell(W, H, D, matcher_kind, batch, frames)
+        _record_cell(r)
+        return r
+    timeout = int(os.environ.get("BENCH_CELL_TIMEOUT", "1800"))
     applied = {}
-    for extra in fallbacks:
-        applied.update(extra)
-        os.environ.update(extra)
-        try:
-            r = run_cell(W, H, D, matcher_kind, batch, frames)
+    last_err = "no tiers"
+    for tier in FALLBACK_TIERS:
+        applied.update(tier)
+        r, err = _cell_subprocess(W, H, D, matcher_kind, batch, frames,
+                                  applied, timeout)
+        if r is not None:
             if applied:
-                r["extra"]["fallback_env"] = dict(applied)
+                r.setdefault("extra", {})["fallback_env"] = dict(applied)
+            _record_cell(r)
             return r
-        except Exception as e:  # noqa: BLE001 -- last tier re-raises below
-            print(f"bench cell failed ({applied or 'default'}): "
-                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
-            err = e
-    raise err
+        print(f"bench cell {W}x{H} {matcher_kind}{D} b{batch} failed "
+              f"({applied or 'default'}): {err}", file=sys.stderr, flush=True)
+        last_err = err
+    raise RuntimeError(f"all fallback tiers failed; last: {last_err}")
 
 
-def main():
+def _apply_platform_and_cache():
     # honor an explicit JAX_PLATFORMS choice even when a deployment's
     # sitecustomize force-selects a PJRT plugin via jax.config (see cli.py)
     _plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
@@ -153,12 +219,33 @@ def main():
 
         jax.config.update("jax_compilation_cache_dir", _cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _apply_tuned():
+    # hardware-tuned kernel knobs (TUNED.env, written from the tune_kb
+    # sweep's BEST line; bit-exactness-pinned, explicit env wins)
+    from rt_depth_map_tpu.tuned import apply_tuned_env
+
+    tuned = apply_tuned_env()
+    if tuned:
+        print(f"# applied TUNED.env: {tuned}", file=sys.stderr)
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--cell":
+        # subprocess entry: one cell, exact env, one JSON line on stdout
+        _apply_platform_and_cache()
+        _apply_tuned()
+        W, H, D, kind, batch, frames = sys.argv[2].split(",")
+        r = run_cell(int(W), int(H), int(D), kind, int(batch), int(frames))
+        print(json.dumps(r), flush=True)
+        return 0
+
+    _apply_platform_and_cache()
     # Device watchdog: a dead TPU tunnel hangs the first computation in C
     # (uninterruptible), so probe in a killable subprocess first and emit a
     # diagnostic JSON line instead of hanging the whole bench run.
     if os.environ.get("BENCH_NO_PROBE") != "1":
-        import subprocess
-
         err = ""
         try:
             probe = subprocess.run(
@@ -181,15 +268,9 @@ def main():
                 "unit": "frames/s", "vs_baseline": 0.0,
                 "extra": {"error": err},
             }))
-            return
+            return 0
 
-    # hardware-tuned kernel knobs (TUNED.env, written from the tune_kb
-    # sweep's BEST line; bit-exactness-pinned, explicit env wins)
-    from rt_depth_map_tpu.tuned import apply_tuned_env
-
-    tuned = apply_tuned_env()
-    if tuned:
-        print(f"# applied TUNED.env: {tuned}", file=sys.stderr)
+    _apply_tuned()
     small = os.environ.get("BENCH_SMALL") == "1"
     matcher_kind = os.environ.get("BENCH_MATCHER", "bm" if small else "sgm")
     frames = int(os.environ.get("BENCH_FRAMES", "24"))
@@ -206,7 +287,12 @@ def main():
         ]
         results = []
         for W, H, D, kind, b in cells:
-            r = run_cell_resilient(W, H, D, kind, b, frames)
+            try:
+                r = run_cell_resilient(W, H, D, kind, b, frames)
+            except Exception as e:  # noqa: BLE001 -- matrix keeps going
+                print(f"matrix cell {W}x{H} {kind}{D} b{b} lost: {e}",
+                      file=sys.stderr, flush=True)
+                continue
             results.append(r)
             print(json.dumps(r), flush=True)
         with open("BENCH_MATRIX.json", "w") as f:

@@ -20,11 +20,27 @@ labeling contract as hook-and-jump, so sizes/bboxes downstream are unchanged.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 _BIG = 2**30  # python int, not jnp scalar: module-scope device constants get lifted
 # as executable parameters and the jit fast path drops them on re-dispatch
+
+
+def _use_pallas_cc(H, W, n_fields=1):
+    """Gate for the in-VMEM propagation kernel (ops/pallas/cc_sweep.py).
+
+    RTDM_NO_PALLAS_CC=1 is the kill-switch (consumed at trace time): a
+    Mosaic regression in the CC kernel must be disarmable without a code
+    change -- round 2's flagship bench died for want of exactly this
+    (VERDICT.md round 2, item 1)."""
+    if os.environ.get("RTDM_NO_PALLAS_CC") == "1":
+        return False
+    from rt_depth_map_tpu.ops.pallas.cc_sweep import cc_fits_vmem
+
+    return jax.default_backend() not in ("cpu",) and cc_fits_vmem(H, W, n_fields)
 
 
 def _shift_along(a: jnp.ndarray, n: int, axis: int, fill) -> jnp.ndarray:
@@ -157,12 +173,9 @@ def connected_components_scan(
         new = jnp.where(active, _seg_min_scan(new, allowed_v, axis=0), new)
         return new
 
-    from rt_depth_map_tpu.ops.pallas.cc_sweep import (
-        cc_fits_vmem,
-        seg_min_propagate_pallas,
-    )
+    from rt_depth_map_tpu.ops.pallas.cc_sweep import seg_min_propagate_pallas
 
-    if jax.default_backend() not in ("cpu",) and cc_fits_vmem(H, W):
+    if _use_pallas_cc(H, W):
         # all convergence rounds on-chip: one HBM read + write of the
         # field vs ~630MB/round of materialized sweep planes in XLA
         d_se, d_sw = diag if connectivity == 8 else (None, None)
@@ -250,14 +263,11 @@ def connected_components_bbox(
 
     init = (idx, -idx, xs, -xs)  # label, -maxidx, minx, -maxx
 
-    from rt_depth_map_tpu.ops.pallas.cc_sweep import (
-        cc_fits_vmem,
-        seg_min_propagate_pallas,
-    )
+    from rt_depth_map_tpu.ops.pallas.cc_sweep import seg_min_propagate_pallas
 
-    if jax.default_backend() not in ("cpu",) and cc_fits_vmem(H, W, 4):
+    if _use_pallas_cc(H, W, 4):
         # all 4 bbox aggregates ride one in-VMEM propagation (one edge-mask
-        # load, one convergence loop on-chip)
+        # load, one convergence loop per field on-chip)
         d_se, d_sw = diag if connectivity == 8 else (None, None)
         out = seg_min_propagate_pallas(jnp.stack(init), active,
                                        allowed_h, allowed_v, d_se, d_sw)
@@ -345,12 +355,9 @@ def component_sizes(
         out = out.at[:-1, 1:].min(ne)
         return jnp.where(active, out, f)
 
-    from rt_depth_map_tpu.ops.pallas.cc_sweep import (
-        cc_fits_vmem,
-        seg_min_propagate_pallas,
-    )
+    from rt_depth_map_tpu.ops.pallas.cc_sweep import seg_min_propagate_pallas
 
-    if jax.default_backend() not in ("cpu",) and cc_fits_vmem(H, W):
+    if _use_pallas_cc(H, W):
         field = seg_min_propagate_pallas(
             field, active, allowed_h, allowed_v,
             a_se if connectivity == 8 else None,

@@ -20,6 +20,20 @@ Generalizations over the round-1 XLA path, both driven by callers:
     semantics): each convergence round starts with one shift-based hop
     across the diagonal links, exactly like ops/cc.py's `_diag_hop`.
 
+Register-pressure design (round-3 rewrite; the round-2 version OOM'd):
+the first version unrolled every doubling step of every field inside one
+while-loop body; at (N=4, 720, 1280) Mosaic's register allocator needed
+228MB of spill slots and the compile permanently failed (vmem OOM, see
+VERDICT.md round 2). Two structural rules keep the live set bounded now:
+
+  1. the Hillis-Steele doubling runs as a `fori_loop` with a DYNAMIC
+     `pltpu.roll` amount (1 << i), so the compiler sees log2(N)
+     iterations of one small body instead of 11 unrolled steps;
+  2. fields propagate SEQUENTIALLY, each in its own convergence
+     while_loop, DMA'd HBM->VMEM->HBM one at a time -- VMEM cost is
+     independent of N (correct because fields propagate independently
+     over the same fixed edge set; the fixed point is per-field).
+
 Mosaic notes (see memory: mosaic-pallas-pitfalls): i1 vectors cannot be
 shifted/reduced (bitcast_vreg i1->i32 fails to legalize), so every mask
 here is an int32 0/1 plane and OR is `maximum`. Inactive pixels need no
@@ -52,11 +66,11 @@ _BIG = 2**30
 
 
 def _shift(a, d, fill, axis):
-    """Shift toward higher indices along `axis` by d (d may be negative),
-    filling vacated positions with `fill`. Implemented as a circular
-    pltpu.roll + iota boundary mask: misaligned jnp.concatenate shifts
-    force a Mosaic relayout per step (~400us/plane measured at 720p),
-    rolls are native."""
+    """Static shift toward higher indices along `axis` by d (d may be
+    negative), filling vacated positions with `fill`. Implemented as a
+    circular pltpu.roll + iota boundary mask: misaligned jnp.concatenate
+    shifts force a Mosaic relayout per step (~400us/plane measured at
+    720p), rolls are native."""
     H, W = a.shape
     N = a.shape[axis]
     pos = jax.lax.broadcasted_iota(jnp.int32, (H, W), axis)
@@ -78,9 +92,41 @@ def _shift2(a, dy, dx, fill):
     return _shift_lanes(out, dx, fill) if dx else out
 
 
-def _seg_min_axis(m, start, axis, reverse):
-    """Segmented prefix-min (Hillis-Steele doubling) along `axis`; segments
-    begin where `start` (int32 0/1) is 1 (in scan direction)."""
+def _seg_min_axis_fori(m, start, axis, reverse):
+    """Doubling as a fori_loop with a dynamic roll amount (1 << i): ONE
+    small body for the register allocator, but Mosaic charges ~20us of
+    loop overhead per iteration (measured, tools/probe_roll_micro.py), so
+    the statically-unrolled variant below is the default. Kept selectable
+    (RTDM_CC_DYN_ROLL=1) as the low-register-pressure fallback."""
+    N = m.shape[axis]
+    steps = (N - 1).bit_length()  # ceil(log2(N)); max d = 2^(steps-1) < N
+    pos = jax.lax.broadcasted_iota(jnp.int32, m.shape, axis)
+
+    def step(i, carry):
+        m, s = carry
+        d = jax.lax.shift_left(jnp.int32(1), i)
+        if reverse:
+            # shift toward lower indices by d == roll by N - d
+            amt = jnp.int32(N) - d
+            mask = pos >= amt
+        else:
+            amt = d
+            mask = pos < d
+        mm = jnp.where(mask, _BIG, pltpu.roll(m, amt, axis=axis))
+        ss = jnp.where(mask, 1, pltpu.roll(s, amt, axis=axis))
+        m = jnp.where(s > 0, m, jnp.minimum(m, mm))
+        s = jnp.maximum(s, ss)
+        return m, s
+
+    m, _ = jax.lax.fori_loop(0, steps, step, (m, start))
+    return m
+
+
+def _seg_min_axis_static(m, start, axis, reverse):
+    """Doubling with STATIC shift amounts, fully unrolled: Mosaic lowers
+    each roll natively and there is no loop overhead. Safe against the
+    round-2 register-spill OOM because only ONE scan of ONE field is ever
+    unrolled at a time (fields are sequential, scans are sequential)."""
     N = m.shape[axis]
     shift = _shift_lanes if axis == 1 else _shift_sub
     sgn = -1 if reverse else 1
@@ -95,20 +141,39 @@ def _seg_min_axis(m, start, axis, reverse):
     return m
 
 
+def _seg_min_axis(m, start, axis, reverse):
+    import os
+
+    if os.environ.get("RTDM_CC_DYN_ROLL") == "1":
+        return _seg_min_axis_fori(m, start, axis, reverse)
+    return _seg_min_axis_static(m, start, axis, reverse)
+
+
 def _kernel(field_hbm, ah_hbm, av_hbm, se_hbm, sw_hbm, out_hbm,
             fbuf, ahbuf, avbuf, sebuf, swbuf, sems, *,
             N, H, W, max_rounds, diag):
-    srcs = [(field_hbm, fbuf), (ah_hbm, ahbuf), (av_hbm, avbuf)]
-    if diag:
-        srcs += [(se_hbm, sebuf), (sw_hbm, swbuf)]
-    copies = [
-        pltpu.make_async_copy(src, dst, sems.at[i])
-        for i, (src, dst) in enumerate(srcs)
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    # one grid step per field: the while_loop body exists ONCE in the
+    # program, so its register-allocator spill slots are allocated once.
+    # (An in-kernel Python loop over fields allocated ~57MB of spill slots
+    # PER FIELD -- Mosaic does not reuse spill ranges across sequential
+    # while_loops -- reproducing the round-2 OOM at N=4.)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _load_masks():
+        # edge masks are field-invariant; scratch persists across the
+        # sequential TPU grid, so load them once
+        srcs = [(ah_hbm, ahbuf), (av_hbm, avbuf)]
+        if diag:
+            srcs += [(se_hbm, sebuf), (sw_hbm, swbuf)]
+        copies = [
+            pltpu.make_async_copy(src, dst, sems.at[j])
+            for j, (src, dst) in enumerate(srcs)
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
 
     # int32 0/1 "no edge" planes; edge x ~ x+1 stored at lane x (lane W-1
     # has no edge), edge y ~ y+1 at row y (row H-1 has no edge).
@@ -155,33 +220,38 @@ def _kernel(field_hbm, ah_hbm, av_hbm, se_hbm, sw_hbm, out_hbm,
         return jnp.minimum(cf, cb)
 
     def body(state):
-        fs, _, r = state
-        new = tuple(sweep(f) for f in fs)
-        n_changed = jnp.int32(0)
-        for f, nf in zip(fs, new):
-            n_changed = n_changed + jnp.sum(
-                jnp.where(nf != f, jnp.int32(1), jnp.int32(0)))
-        return new, n_changed, r + 1
+        f, _, r = state
+        nf = sweep(f)
+        n_changed = jnp.sum(
+            jnp.where(nf != f, jnp.int32(1), jnp.int32(0)))
+        return nf, n_changed, r + 1
 
     def cond(state):
         _, n_changed, r = state
         return (n_changed > 0) & (r < max_rounds)
 
-    f0 = tuple(fbuf[i] for i in range(N))
-    final, _, _ = jax.lax.while_loop(cond, body, (f0, jnp.int32(1),
-                                                  jnp.int32(0)))
-    for i in range(N):
-        out_hbm[i] = final[i]
+    # this grid step's field: DMA in, converge, DMA out -- VMEM use is
+    # O(1) in N (rule 2 in the module docstring)
+    cp_in = pltpu.make_async_copy(field_hbm.at[i], fbuf, sems.at[4])
+    cp_in.start()
+    cp_in.wait()
+    final, _, _ = jax.lax.while_loop(
+        cond, body, (fbuf[...], jnp.int32(1), jnp.int32(0)))
+    fbuf[...] = final
+    cp_out = pltpu.make_async_copy(fbuf, out_hbm.at[i], sems.at[4])
+    cp_out.start()
+    cp_out.wait()
 
 
 def seg_min_propagate_pallas(field, active, allowed_h, allowed_v,
                              allowed_se=None, allowed_sw=None,
-                             interpret=False):
+                             interpret=False, max_rounds=None):
     """Min-propagate `field` along allowed edges of `active` pixels to the
     fixed point.
 
     field: int32 (H, W) or (N, H, W) -- N fields propagate together over
-    the same edges (one load of the masks, one convergence loop).
+    the same edges (one load of the masks; each field converges in its own
+    on-chip while_loop).
     allowed_h: (H, W-1) edges (y,x)~(y,x+1); allowed_v: (H-1, W) edges
     (y,x)~(y+1,x). For 8-connectivity pass allowed_se ((H-1, W-1) edges
     (y,x)~(y+1,x+1)) and allowed_sw ((H-1, W-1) edges (y,x+1)~(y+1,x)).
@@ -202,17 +272,20 @@ def seg_min_propagate_pallas(field, active, allowed_h, allowed_v,
     else:
         se = sw = ah  # unused dummy operands (kernel never reads them)
     # a sweep propagates across >= one full row/column run; image-spanning
-    # snakes need at most H+W direction turns
-    max_rounds = H + W
+    # snakes need at most H+W direction turns (max_rounds override is for
+    # perf diagnostics: rounds = t(converged)/t(per-round))
+    if max_rounds is None:
+        max_rounds = H + W
     kernel = functools.partial(_kernel, N=N, H=H, W=W,
                                max_rounds=max_rounds, diag=diag)
     out = pl.pallas_call(
         kernel,
+        grid=(N,),
         out_shape=jax.ShapeDtypeStruct((N, H, W), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((N, H, W), jnp.int32),
+            pltpu.VMEM((H, W), jnp.int32),
             pltpu.VMEM((H, W), jnp.int8),
             pltpu.VMEM((H, W), jnp.int8),
             pltpu.VMEM((H, W), jnp.int8),
@@ -230,10 +303,14 @@ def seg_min_propagate_pallas(field, active, allowed_h, allowed_v,
 
 
 def cc_fits_vmem(H, W, n_fields=1):
-    """True when the in-VMEM propagation kernel's working set fits: the
-    fields + four int32 start-flag planes + scan temporaries (~8 int32
-    planes peak, reused across fields) under the raised 100MB vmem
-    limit."""
-    planes = 11 + 2 * n_fields
+    """True when the in-VMEM propagation kernel's working set fits.
+
+    Fields stream through one (H, W) VMEM buffer, so the live set is
+    independent of n_fields: ~8 int32 start/diag-mask planes + the field
+    carry + per-step scan temporaries + register-allocator headroom.
+    Budgeted at 20 int32 planes against a 90MB ceiling (the kernel asks
+    for 100MB; the measured 720p compile uses ~60MB incl. spills)."""
+    del n_fields
+    planes = 20
     return (H * W * 4 * planes <= 90 * 2**20
             and W % 128 == 0 and H % 8 == 0)

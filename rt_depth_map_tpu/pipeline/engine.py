@@ -482,10 +482,10 @@ class Engine:
         stop = {"flag": False}
 
         def handler(signum, frame):
-            # SIGINT -> stats report -> exit (main.cpp:100-106 parity)
+            # SIGINT -> stop -> stats report (main.cpp:100-106 parity);
+            # the report itself prints after the loop notes wall-clock
+            # throughput, so the SIGINT report carries the pipelined fps
             stop["flag"] = True
-            if print_stats_on_sigint:
-                print(self.stats.report(), file=sys.stderr)
 
         old = None
         if print_stats_on_sigint:
@@ -500,6 +500,10 @@ class Engine:
         pending = deque()  # (index, device output tree)
         sync_every = 8
         st = self.stats
+        # result pulls overlap the next frames' dispatch/execution; the
+        # report must not count them into the frame period (on the dev rig
+        # each pull pays ~25ms of tunnel RTT that no deployment would)
+        st.mark_overlapped("d2h")
 
         def retire(idx, out):
             if on_frame is not None:
@@ -514,6 +518,8 @@ class Engine:
 
         try:
             i = 0
+            done0 = self._frames_done
+            t_loop0 = time.perf_counter()
             while frames is None or i < frames:
                 if stop["flag"]:
                     break
@@ -528,6 +534,10 @@ class Engine:
                 i += 1
             while pending:
                 retire(*pending.popleft())
+            st.note_wall(self._frames_done - done0,
+                         time.perf_counter() - t_loop0)
+            if stop["flag"] and print_stats_on_sigint:
+                print(st.report(), file=sys.stderr)
             return i
         finally:
             if old is not None:

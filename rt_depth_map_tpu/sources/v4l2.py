@@ -34,6 +34,21 @@ _VIDIOC_STREAMOFF = 0x40045613
 _V4L2_BUF_TYPE_VIDEO_CAPTURE = 1
 _V4L2_MEMORY_MMAP = 1
 _V4L2_PIX_FMT_MJPEG = 0x47504A4D  # 'MJPG'
+_V4L2_CAP_VIDEO_CAPTURE = 0x00000001
+_V4L2_CAP_STREAMING = 0x04000000
+
+
+class _v4l2_capability(ctypes.Structure):
+    # 104 bytes (the 0x68 encoded in VIDIOC_QUERYCAP = _IOR('V', 0, 104))
+    _fields_ = [
+        ("driver", ctypes.c_uint8 * 16),
+        ("card", ctypes.c_uint8 * 32),
+        ("bus_info", ctypes.c_uint8 * 32),
+        ("version", ctypes.c_uint32),
+        ("capabilities", ctypes.c_uint32),
+        ("device_caps", ctypes.c_uint32),
+        ("reserved", ctypes.c_uint32 * 3),
+    ]
 
 
 class _v4l2_pix_format(ctypes.Structure):
@@ -129,6 +144,21 @@ assert ctypes.sizeof(_v4l2_requestbuffers) == 20
 class _Camera:
     def __init__(self, device: str, width: int, height: int):
         self.fd = os.open(device, os.O_RDWR)
+        # capability verification before S_FMT (QUERYCAP,
+        # v4l2-stream-stereo-device.cpp:22-38): the device must support
+        # video capture AND streaming I/O, else fail with a clear error
+        # instead of an opaque S_FMT/REQBUFS errno later.
+        cap = _v4l2_capability()
+        fcntl.ioctl(self.fd, _VIDIOC_QUERYCAP, cap)
+        card = bytes(cap.card).split(b"\0", 1)[0].decode(errors="replace")
+        if not cap.capabilities & _V4L2_CAP_VIDEO_CAPTURE:
+            os.close(self.fd)
+            raise RuntimeError(
+                f"{device} ({card}) does not support video capture")
+        if not cap.capabilities & _V4L2_CAP_STREAMING:
+            os.close(self.fd)
+            raise RuntimeError(
+                f"{device} ({card}) does not support streaming I/O")
         fmt = _v4l2_format()
         fmt.type = _V4L2_BUF_TYPE_VIDEO_CAPTURE
         fmt.fmt.width = width

@@ -53,6 +53,13 @@ def test_bm_pallas_matches_xla(full_checks):
         {"RTDM_BM_R": "16", "RTDM_BM_VARIANT": "mxuh"},
         {"RTDM_LR_R": "16"},
         {"RTDM_NO_PALLAS_LR": "1"},
+        # TUNED.env machine defaults (R must divide H: these cases use the
+        # 48-row pair below so 24/48 are actually exercised, not silently
+        # degraded to the default stripe)
+        {"RTDM_BM_R": "24"},
+        {"RTDM_BM_R": "48"},
+        {"RTDM_BM_R": "24", "RTDM_BM_VARIANT": "mxuh"},
+        {"RTDM_BM_R": "48", "RTDM_BM_VARIANT": "mxuh"},
     ],
 )
 def test_bm_pallas_knobs_bit_exact(env, monkeypatch):
@@ -60,7 +67,8 @@ def test_bm_pallas_knobs_bit_exact(env, monkeypatch):
     # single output bit (they only restructure the window summation).
     for k, v in env.items():
         monkeypatch.setenv(k, v)
-    left, right = stereo_pair(11, 16, 256, 7)
+    H = 48 if int(env.get("RTDM_BM_R", "8")) > 16 else 16
+    left, right = stereo_pair(11, H, 256, 7)
     kw = dict(
         kind="bm", num_disparities=16, block_size=13, pre_filter_cap=31,
         texture_threshold=10, uniqueness_ratio=10, speckle_window_size=50,

@@ -39,12 +39,16 @@ def test_cost_volume_stripe_heights(H, dtype):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
-@pytest.mark.parametrize("R", [8, 12, 16, 24])
-def test_cost_volume_env_stripe_override(R, monkeypatch):
+@pytest.mark.parametrize("R,H", [(8, 48), (12, 48), (16, 48), (24, 48),
+                                 (20, 40), (20, 80)])
+def test_cost_volume_env_stripe_override(R, H, monkeypatch):
     """Every RTDM_COST_R value the TPU sweep (tools/tune_kb.py) can select
-    must be bit-exact -- the knob only changes the stripe blocking."""
+    must be bit-exact -- the knob only changes the stripe blocking. H is
+    paired so each R actually divides H (the kernel silently degrades to
+    the default stripe otherwise); (20, 40/80) covers the value TUNED.env
+    ships as the machine default."""
     monkeypatch.setenv("RTDM_COST_R", str(R))
-    H, W, D, bs = 48, 192, 64, 5
+    W, D, bs = 192, 64, 5
     left, right = pair(5, H, W)
     ref, _, _ = sgbm_cost_volume(
         jnp.asarray(left), jnp.asarray(right), D, bs, 0, 63

@@ -105,10 +105,18 @@ class _FakeKernel:
     def close(self, fd):
         self.per_fd.pop(fd)
 
+    # capabilities the fake device advertises (QUERYCAP)
+    CAPS = v4l2mod._V4L2_CAP_VIDEO_CAPTURE | v4l2mod._V4L2_CAP_STREAMING
+
     def ioctl(self, fd, req, arg):
         st = self.per_fd[fd]
         self.calls.append((fd, req))
-        if req == v4l2mod._VIDIOC_S_FMT:
+        if req == v4l2mod._VIDIOC_QUERYCAP:
+            assert st["fmt"] is None, "QUERYCAP must run before S_FMT"
+            # kernel writes card at offset 16, capabilities at offset 84
+            ctypes.memmove(ctypes.addressof(arg) + 16, b"fake-cam\0", 9)
+            _set_u32_at(arg, 84, self.CAPS)
+        elif req == v4l2mod._VIDIOC_S_FMT:
             # kernel reads fmt at offset 8: width, height, pixelformat
             w = _u32_at(arg, 8)
             h = _u32_at(arg, 12)

@@ -1,26 +1,36 @@
 #!/bin/bash
-# One-shot TPU measurement harvest, ordered by priority so a short tunnel
-# window still yields the most important numbers. Appends everything to
-# HARVEST_R2.txt (stdout passthrough). Each step under its own timeout so
-# a hang doesn't block the rest.
+# One-shot TPU measurement harvest (round 3), ordered by priority so a
+# short tunnel window still yields the most important numbers. Appends
+# everything to HARVEST_R3.txt (stdout passthrough). Each step under its
+# own timeout so a hang doesn't block the rest.
 set -u
 cd "$(dirname "$0")/.."
-LOG=HARVEST_R2.txt
+LOG=HARVEST_R3.txt
 run() {
   echo "===== $* [$(date +%H:%M:%S)] =====" | tee -a "$LOG"
   timeout "$1" "${@:2}" 2>&1 | tee -a "$LOG"
   echo "----- exit=$? [$(date +%H:%M:%S)]" | tee -a "$LOG"
 }
 
-# 1. flagship bench (720p SGM-128 8-path; measures b1 AND b4, headline =
-#    best per-chip throughput) -> BENCH JSON line
-run 2400 python bench.py
-# 2. per-stage breakdown
+# 0. kernel probes: attribute any Mosaic regression to one kernel before
+#    the whole-program bench runs (cheap; compiles are remote)
+run 1800 python tools/probe_mosaic.py cc transpose remap
+# 1. flagship bench (720p SGM-128 8-path; per-cell subprocess isolation,
+#    BENCH_CELLS.json gets every completed cell immediately)
+run 4500 python bench.py
+# 2. on-hardware accuracy report (VERDICT r2 item 5: bad-pixel vs
+#    cv2-validated goldens at all three judged resolutions, on the TPU)
+run 2400 python tools/accuracy_report.py
+# 2b. TPU-vs-CPU bit identity of the CC consumers (speckle/detect)
+run 2400 python tools/verify_cc_bitexact.py
+# 3. per-stage breakdown
 run 1800 python tools/profile_chain.py
-# 3. fused-kernel DMA block-size + BM stripe/variant sweep (prints BEST
-#    knob settings; ~22 configs, each a fresh trace+compile)
+# 3b. speckle/detect sub-costs (round-3 optimization targets)
+run 1800 python tools/probe_speckle_budget.py
+# 4. fused-kernel DMA block-size + BM stripe/variant sweep (prints BEST
+#    knob settings; known-OOM points pre-skipped via vbidir_vmem_bytes)
 run 2700 python tools/tune_kb.py
-# 3b. persist the sweep result: bench.py and the CLI load TUNED.env
+# 4b. persist the sweep result: bench.py and the CLI load TUNED.env
 #     (bit-exactness-pinned knobs; explicit env still wins)
 BEST=$(grep '^BEST:' "$LOG" | tail -1 | sed 's/^BEST: //')
 if [ -n "$BEST" ]; then
@@ -39,21 +49,19 @@ if [ -n "$BEST" ]; then
   git commit -m "Apply hardware-tuned kernel knobs from the TPU sweep" \
     -- TUNED.env 2>/dev/null
 fi
-# 4. streaming-pass cost floor experiment
+# 5. streaming-pass cost floor experiments
 run 1800 python tools/scratch_pass_floor.py
-# 4b. cost-volume kernel stage isolation + MXU-window candidate
 run 1800 python tools/cost_floor.py
-# 5. Engine.run end-to-end (pipelined host loop; the stats table separates
-#    dispatch rate from the ~25ms/frame tunnel d2h RTT that a real
-#    deployment would not pay)
+# 6. Engine.run end-to-end (pipelined host loop; headline = pipelined
+#    throughput, d2h is reported as overlap)
 run 1200 python -m rt_depth_map_tpu --source synthetic \
   -i /root/reference/backup/1280x720/intrinsics.yml \
   -e /root/reference/backup/1280x720/extrinsics.yml \
   --frames 50 --stats --matcher sgm
-# 6. full matrix (writes BENCH_MATRIX.json; picks up TUNED.env from 3b)
-run 3600 env BENCH_MATRIX=1 python bench.py
-# 7. tuned headline re-bench (step 1 ran before TUNED.env existed; this
+# 7. full matrix (writes BENCH_MATRIX.json; picks up TUNED.env from 4b)
+run 5400 env BENCH_MATRIX=1 python bench.py
+# 8. tuned headline re-bench (step 1 ran before TUNED.env existed; this
 #    line is the tuned-vs-untuned comparison for the README table)
 if [ -f TUNED.env ]; then
-  run 2400 python bench.py
+  run 3600 python bench.py
 fi

@@ -70,7 +70,10 @@ def make_kernel(variant):
                 elif variant == "i16":
                     C = crow[slot, k]
                     Lp = carry[...].astype(jnp.int16)
-                    minLp = jnp.min(Lp, axis=0, keepdims=True)
+                    # Mosaic can't reduce int16 ("Reductions over int16 not
+                    # implemented"); reduce the i32 carry and cast after
+                    minLp = jnp.min(carry[...], axis=0,
+                                    keepdims=True).astype(jnp.int16)
                     lm = jnp.concatenate(
                         [jnp.full((1, H), jnp.int16(MAX_COST)), Lp[:-1]],
                         axis=0)

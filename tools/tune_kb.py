@@ -84,9 +84,18 @@ def main():
     if results_h:
         best_h = min(results_h, key=results_h.get)
 
+    from rt_depth_map_tpu.ops.pallas.sgm_bidir import vbidir_vmem_bytes
+
     results_v = {}
     for kb in (1, 2, 4, 8):
         if 8 % kb or H % (2 * kb):
+            continue
+        need = vbidir_vmem_bytes(H, W1, D, kb, 2)
+        if need > 16 * 2**20:
+            # would OOM the 16MB scoped-vmem default; a failing compile
+            # costs ~40s of harvest budget for a known answer
+            print(f"  vbidir KB={kb}: skipped (needs {need / 2**20:.1f}M "
+                  f"scoped vmem > 16M)", flush=True)
             continue
         os.environ["RTDM_VBIDIR_KB"] = str(kb)
 
