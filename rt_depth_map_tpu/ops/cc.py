@@ -287,6 +287,68 @@ def connected_components_bbox(
     return labels, -neg_maxidx, minx, -neg_maxx
 
 
+def component_small(
+    labels: jnp.ndarray,
+    active: jnp.ndarray,
+    values: jnp.ndarray,
+    max_diff,
+    max_size: int,
+    connectivity: int = 4,
+    interpret: bool = False,
+    force_pallas: bool = False,
+) -> jnp.ndarray:
+    """(H, W) bool: active pixel's component has <= max_size pixels.
+
+    The speckle filter only needs this DECISION, not exact sizes, so the
+    fast path uses the banded windowed histogram
+    (ops/pallas/histogram.py label_histogram_banded): counts are exact
+    for components <= max_size and provably > max_size for larger ones,
+    at ~1/6 the matmul work of the full histogram. The root's decision is
+    then min-propagated to its members over the same component edges.
+    Falls back to exact component_sizes off-TPU / on kill-switch.
+
+    Reference behavior: cv::filterSpeckles' size test (SURVEY.md
+    section 2.9a item 4)."""
+    H, W = labels.shape
+    use_fast = force_pallas or (
+        _use_pallas_cc(H, W) and W % 128 == 0
+    )
+    if not use_fast:
+        sizes = component_sizes(labels, active, values=values,
+                                max_diff=max_diff,
+                                connectivity=connectivity)
+        return active & (sizes <= max_size)
+
+    from rt_depth_map_tpu.ops.pallas.cc_sweep import seg_min_propagate_pallas
+    from rt_depth_map_tpu.ops.pallas.histogram import label_histogram_banded
+
+    A = label_histogram_banded(labels, active, max_size,
+                               interpret=interpret)
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    is_root = active & (labels == idx)
+    # 0 = small at root, 1 = big at root, BIG elsewhere; the root is its
+    # component's minimum, so min-propagation hands every member the
+    # root's decision
+    field = jnp.where(is_root & (A > max_size), 1, jnp.where(is_root, 0, _BIG))
+
+    v = values.astype(jnp.int32)
+    md = jnp.asarray(max_diff, jnp.int32)
+    allowed_h = active[:, :-1] & active[:, 1:] & (jnp.abs(v[:, :-1] - v[:, 1:]) <= md)
+    allowed_v = active[:-1, :] & active[1:, :] & (jnp.abs(v[:-1, :] - v[1:, :]) <= md)
+    a_se = a_sw = None
+    if connectivity == 8:
+        a_se = (active[:-1, :-1] & active[1:, 1:]
+                & (jnp.abs(v[:-1, :-1] - v[1:, 1:]) <= md))
+        a_sw = (active[:-1, 1:] & active[1:, :-1]
+                & (jnp.abs(v[:-1, 1:] - v[1:, :-1]) <= md))
+    field = seg_min_propagate_pallas(field, active, allowed_h, allowed_v,
+                                     a_se, a_sw, interpret=interpret)
+    return active & (field == 0)
+
+
 def component_sizes(
     labels: jnp.ndarray,
     active: jnp.ndarray,

@@ -81,6 +81,119 @@ def _kernel(rho_hbm, gam_hbm, A_ref, rbuf, gbuf, sems, *,
     jax.lax.fori_loop(0, NB, body, 0)
 
 
+def _banded_kernel(rho_hbm, gam_hbm, A_ref, apad, rbuf, gbuf, sems, *,
+                   NB, H, W, Sr, dot_dtype):
+    Br = Sr + 8
+
+    def in_dma(slot, b):
+        return [
+            pltpu.make_async_copy(rho_hbm.at[b], rbuf.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(gam_hbm.at[b], gbuf.at[slot],
+                                  sems.at[slot, 1]),
+        ]
+
+    apad[...] = jnp.zeros((H + Sr, W), jnp.int32)
+    for d in in_dma(0, 0):
+        d.start()
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (Br, 8 * W), 0)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (W, 8 * W), 0)
+
+    def body(b, _):
+        slot = b % 2
+
+        @pl.when(b + 1 < NB)
+        def _():
+            for d in in_dma(1 - slot, b + 1):
+                d.start()
+
+        for d in in_dma(slot, b):
+            d.wait()
+
+        y0 = pl.multiple_of(b * 8, 8)
+        # local row bin = rho - (y0 - Sr); roots above the window (or the
+        # inactive sentinel) go negative and match no one-hot row
+        rho_loc = rbuf[slot] - y0 + Sr  # (1, 8W)
+        UT = (riota == rho_loc).astype(dot_dtype)   # (Br, 8W)
+        VT = (ciota == gbuf[slot]).astype(dot_dtype)  # (W, 8W)
+        patch = jax.lax.dot_general(
+            UT, VT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        apad[pl.ds(y0, Br), :] += patch
+        return 0
+
+    jax.lax.fori_loop(0, NB, body, 0)
+    A_ref[...] = apad[Sr:Sr + H, :]
+
+
+def label_histogram_banded(
+    labels: jnp.ndarray,
+    active: jnp.ndarray,
+    max_size: int,
+    interpret: bool = False,
+    dot_dtype=jnp.int8,
+) -> jnp.ndarray:
+    """Windowed label histogram, exact for the `size <= max_size` decision.
+
+    Counts each active pixel toward its root's (y, x) bin ONLY when the
+    root lies within Sr = roundup(max_size, 8) rows above the pixel's
+    8-row block. Localization argument (exact for the decision):
+      * a component of size <= max_size spans <= max_size - 1 rows, so
+        every pixel's root is within the window -> count == true size;
+      * a component of size > max_size either fits the window entirely
+        (count == size > max_size) or reaches a pixel whose root is
+        farther than Sr rows up -- the connected path from that root back
+        down crosses > Sr >= max_size rows, placing > max_size pixels
+        inside the window -> count > max_size either way.
+    So (count <= max_size) == (true size <= max_size) for every root,
+    which is all cv::filterSpeckles needs. Work drops from
+    H*W pixels x H*W bins (850 GMAC at 720p, label_histogram_pallas) to
+    H*W x (Sr+8)*W (~130 GMAC at max_size=100).
+
+    labels: (H, W) int32 min-linear-index labels (ops/cc.py contract).
+    Returns (H, W) int32 windowed counts, addressed at the root position.
+    """
+    H, W = labels.shape
+    if W % 128:
+        raise ValueError(f"W={W} must be a lane multiple")
+    Sr = max(8, -(-int(max_size) // 8) * 8)
+    Hp = -(-H // 8) * 8
+    # inactive/pad pixels get a large-negative row so the per-block local
+    # row bin (rho - y0 + Sr) can never reach a valid one-hot row
+    rho = jnp.where(active, labels // W, -(2**20))
+    gam = jnp.where(active, labels - (labels // W) * W, -1)
+
+    def blk(x, fill):
+        x = jnp.pad(x.reshape(-1), (0, Hp * W - H * W),
+                    constant_values=fill)
+        return x.reshape(Hp // 8, 1, 8 * W)
+
+    NB = Hp // 8
+    kernel = functools.partial(
+        _banded_kernel, NB=NB, H=H, W=W, Sr=Sr, dot_dtype=dot_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H + Sr, W), jnp.int32),
+            pltpu.VMEM((2, 1, 8 * W), jnp.int32),
+            pltpu.VMEM((2, 1, 8 * W), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # VT one-hot alone is (W, 8W) int8 = 13MB at 720p
+            vmem_limit_bytes=64 * 2**20,
+        ),
+        interpret=interpret,
+    )(blk(rho, -(2**20)), blk(gam, -1))
+
+
 def label_histogram_pallas(
     labels: jnp.ndarray,
     active: jnp.ndarray,

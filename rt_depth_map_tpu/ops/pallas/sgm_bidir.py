@@ -198,9 +198,12 @@ def sgm_horiz_bidir_dh(Ct, p1, p2, interpret=False):
         KB = int(os.environ["RTDM_HBIDIR_KB"])
     else:
         KB = 4 if W1 % 8 == 0 else 1
-        itemsize = jnp.dtype(io_dtype).itemsize
-        while KB > 1 and 8 * KB * D * H * itemsize + 8 * D * H > 12 * 2**20:
-            KB //= 2
+    # the fit clamp applies to the tuned override too: TUNED.env knobs are
+    # swept at b1 shapes, and the batched call stacks frames along H --
+    # KB=4 at B=4/720p asks for 27M of scoped vmem against the 16M limit
+    itemsize = jnp.dtype(io_dtype).itemsize
+    while KB > 1 and 8 * KB * D * H * itemsize + 8 * D * H > 12 * 2**20:
+        KB //= 2
     if W1 % (2 * KB):
         raise ValueError(f"W1={W1} must be a multiple of {2 * KB}")
     kernel = functools.partial(

@@ -126,19 +126,27 @@ def _kernel(*refs, R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype,
 
         for k in range(8):
             o = 8 - k  # rolled[o + j] = P[j + minX1 - (8*db + k)]
+            if variant == "btns":
+                o = 0  # measurement only: lane-ALIGNED slices (wrong
+                # disparity indexing) isolate the per-k misaligned-slice
+                # relayout cost from the BT arithmetic
 
             def right(idx):
                 return rolled[idx - 6][:, o : o + W1]
 
-            pix = bt(ls, lu0, lu1, right(6), right(7), right(8)) + (
-                bt(lraw, lru0, lru1, right(9), right(10), right(11)) >> 2
-            )  # (Rh, W1)
+            pix = bt(ls, lu0, lu1, right(6), right(7), right(8))
+            if variant not in ("bt1", "btns"):
+                # "bt1" drops the raw-image BT term (half the arithmetic)
+                # to split arithmetic cost from loop/slice overhead
+                pix = pix + (
+                    bt(lraw, lru0, lru1, right(9), right(10), right(11)) >> 2
+                )  # (Rh, W1)
             # variant is a measurement knob (tools/cost_floor.py): the
             # non-"full"/"mxuh" settings keep the loop + DMA structure but
             # drop compute stages to expose each stage's cost in isolation.
             if variant == "null":
                 acc = ls[0:R]
-            elif variant == "bt":
+            elif variant in ("bt", "bt1", "btns"):
                 acc = pix[0:R]
             else:
                 if variant == "mxuh":

@@ -614,30 +614,37 @@ def stereo_sgbm_batch(
         else jnp.int32
     )
 
+    # The per-frame stages run as PYTHON-unrolled loops over the static
+    # batch, not lax.map: XLA's fusion pass CHECK-crashes ("Check failed:
+    # fused_root->IsFusible()", hlo_instructions.cc, observed on TPU v5e)
+    # when a Pallas custom call sits inside a lax.map scan body at these
+    # shapes -- an optimization_barrier around the operands does not avoid
+    # it. B is small (4 at the BASELINE multi-stream point) and the
+    # per-frame programs are shape-identical, so the unrolled compile is
+    # one-time and kernel compiles are cached.
     Hp = -(-H // 128) * 128
-    C = jax.lax.map(
-        lambda lr: sgm_cost_volume_pallas(
-            lr[0], lr[1], D, cfg.block_size, cfg.pre_filter_cap,
+    C = jnp.stack([
+        sgm_cost_volume_pallas(
+            lefts[i], rights[i], D, cfg.block_size, cfg.pre_filter_cap,
             layout="hdw", dtype=vol_dtype, interpret=interp, out_h=Hp,
-        )[0],
-        (lefts, rights),
-    )  # (B, Hp, D, W1) -- rows >= H undefined, never read back
+        )[0]
+        for i in range(B)
+    ])  # (B, Hp, D, W1) -- rows >= H undefined, never read back
     minX1 = D
 
     Ct = vol_transpose(C.reshape(B * Hp, D, W1), interpret=interp)
     Sh_t = sgm_horiz_bidir_dh(Ct, p1, p2, interpret=interp)
     Sh = vol_transpose(Sh_t, interpret=interp).reshape(B, Hp, D, W1)
 
-    best, minS, dval, uniq = jax.lax.map(
-        lambda cs: sgm_vert_bidir_wta_hdw(
-            cs[0], cs[1], p1, p2, cfg.uniqueness_ratio, interpret=interp,
+    per_frame = [
+        sgm_vert_bidir_wta_hdw(
+            C[i], Sh[i], p1, p2, cfg.uniqueness_ratio, interpret=interp,
             true_h=H,
-        ),
-        (C, Sh),
-    )
+        )
+        for i in range(B)
+    ]
 
-    def tail(args):
-        bestf, minSf, dvalf, uniqf = args
+    def tail(bestf, minSf, dvalf, uniqf):
         dvalf = dvalf + minD * DISP_SCALE
         disp1 = jnp.where(uniqf > 0, INVALID, dvalf).astype(jnp.int16)
         disp = jnp.full((H, W), INVALID, dtype=jnp.int16)
@@ -654,4 +661,4 @@ def stereo_sgbm_batch(
             )
         return disp
 
-    return jax.lax.map(tail, (best, minS, dval, uniq))
+    return jnp.stack([tail(*per_frame[i]) for i in range(B)])

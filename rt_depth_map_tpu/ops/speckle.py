@@ -95,13 +95,15 @@ def filter_speckles(
 
     Uses the gather-free segmented-scan CC (ops/cc.py) -- the original
     hook+pointer-jump labeling (connected_components above, kept for
-    reference/tests) costs seconds at 720p on TPU."""
-    from rt_depth_map_tpu.ops.cc import component_sizes, connected_components_scan
+    reference/tests) costs seconds at 720p on TPU. Only the size
+    DECISION is needed, so the TPU path uses the banded windowed
+    histogram (ops/cc.py component_small)."""
+    from rt_depth_map_tpu.ops.cc import component_small, connected_components_scan
 
     active = disp != new_val
     labels = connected_components_scan(disp, active, jnp.int32(max_diff), 4)
-    comp_size = component_sizes(
-        labels, active, values=disp, max_diff=max_diff, connectivity=4
+    small = component_small(
+        labels, active, values=disp, max_diff=max_diff, max_size=max_size,
+        connectivity=4,
     )
-    small = active & (comp_size <= max_size)
     return jnp.where(small, jnp.asarray(new_val, disp.dtype), disp)

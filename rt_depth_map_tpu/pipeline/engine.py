@@ -179,6 +179,16 @@ class Engine:
             # compile time scaled linearly with B. One chip executes the B
             # frame programs serially either way, so throughput matches the
             # unrolled form at 1/B of its compile cost.
+            # Per-frame stages are PYTHON-unrolled over the static batch,
+            # not lax.map: XLA's fusion pass CHECK-crashes ("Check failed:
+            # fused_root->IsFusible()") on Pallas custom calls inside a
+            # scan body at 720p shapes (see ops/sgbm.py stereo_sgbm_batch).
+            B = cfg.batch
+
+            def _stack_trees(items):
+                return jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *items)
+
             if self.matcher_config.kind == "sgm":
                 from rt_depth_map_tpu.ops.sgbm import stereo_sgbm_batch
 
@@ -189,23 +199,26 @@ class Engine:
                     # batched launch stacking frames along the lane axis so
                     # the aggregation recurrences' per-step stall amortizes
                     # over B frames (ops/sgbm.py stereo_sgbm_batch).
-                    lrects, rrects, rgbrs, filts, boxess, _ = jax.lax.map(
-                        lambda lr: frame_fn.pre_fn(lr[0], lr[1], hsv_low,
-                                                   hsv_high, min_size),
-                        (lefts, rights),
-                    )
+                    pres = [
+                        frame_fn.pre_fn(lefts[i], rights[i], hsv_low,
+                                        hsv_high, min_size)
+                        for i in range(B)
+                    ]
+                    lrects = jnp.stack([p[0] for p in pres])
+                    rrects = jnp.stack([p[1] for p in pres])
                     disps = stereo_sgbm_batch(lrects, rrects, mcfg_b)
-                    return jax.lax.map(
-                        lambda a: frame_fn.post_fn(*a),
-                        (lrects, rrects, rgbrs, filts, boxess, disps),
-                    )
+                    return _stack_trees([
+                        frame_fn.post_fn(pres[i][0], pres[i][1], pres[i][2],
+                                         pres[i][3], pres[i][4], disps[i])
+                        for i in range(B)
+                    ])
             else:
                 def batch_fn(lefts, rights, hsv_low, hsv_high, min_size):
-                    return jax.lax.map(
-                        lambda lr: frame_fn(lr[0], lr[1], hsv_low, hsv_high,
-                                            min_size),
-                        (lefts, rights),
-                    )
+                    return _stack_trees([
+                        frame_fn(lefts[i], rights[i], hsv_low, hsv_high,
+                                 min_size)
+                        for i in range(B)
+                    ])
 
             self._step_batch = jax.jit(batch_fn)
         self._frames_done = 0

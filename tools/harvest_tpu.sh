@@ -19,8 +19,9 @@ run 1800 python tools/probe_mosaic.py cc transpose remap
 #    BENCH_CELLS.json gets every completed cell immediately)
 run 4500 python bench.py
 # 2. on-hardware accuracy report (VERDICT r2 item 5: bad-pixel vs
-#    cv2-validated goldens at all three judged resolutions, on the TPU)
-run 2400 python tools/accuracy_report.py
+#    cv2-validated goldens at all three judged resolutions, matchers
+#    running the production Pallas path ON the TPU)
+run 3000 python tools/accuracy_report.py --device
 # 2b. TPU-vs-CPU bit identity of the CC consumers (speckle/detect)
 run 2400 python tools/verify_cc_bitexact.py
 # 3. per-stage breakdown
