@@ -143,16 +143,17 @@ def _kernel(*refs, R, W, Wp, D, Dpow, bs, Rh_pad, variant):
         return n1, n2, n3, n4, cm1, cp1, cd, bestd
 
     def block(db, state):
-        # rolled[x'] = rp_pad[(x' + maxD - (8*db + 7)) mod Wp]: the block's
-        # 8 disparities d = 8*db + k read the static lane windows
-        # rolled[:, (7-k) : (7-k)+W] (valid reads never wrap: the index
-        # x + maxD - d lands in [0, W + maxD) <= Wp)
-        shift = (Wp + 8 * db + 7 - maxD) % Wp
-        rolled = pltpu.roll(rp_s, shift, axis=1)
+        # ONE dynamic roll per disparity, sliced at lane 0: a static-
+        # offset slice of a pre-rolled plane carries a lazy offset layout
+        # and every binary op mixing it with the aligned left plane pays a
+        # relayout (the sgm_cost.py bt-vs-btns finding); a dynamic roll
+        # amount forces one canonical materialization. rolled_d[x] =
+        # rp_pad[(x + maxD - d) mod Wp]; valid reads never wrap (the index
+        # x + maxD - d lands in [0, W + maxD) <= Wp).
         for k in range(8):
             d = 8 * db + k
-            o = 7 - k
-            ad = jnp.abs(lp_s - rolled[:, o : o + W])
+            sk = (8 * db + k - maxD) % Wp
+            ad = jnp.abs(lp_s - pltpu.roll(rp_s, sk, axis=1)[:, :W])
             if variant == "mxuh":
                 # horizontal window as ONE int8 MXU dot over the banded
                 # weight matrix (|L-R| <= 2*pre_filter_cap <= 126 fits

@@ -52,12 +52,16 @@ def _kernel(d_ref, k_ref, *rest, R, W, Wp1, Wp2, P, n_w, r_lo, n_r,
     nb1 = (n_w + 7) // 8
 
     def win_block(b, best):
-        rolled_d = pltpu.roll(dp, (Wp1 - 8 * b) % Wp1, axis=1)
-        rolled_k = pltpu.roll(kp, (Wp1 - 8 * b) % Wp1, axis=1)
+        # one DYNAMIC roll per candidate: a static-offset slice of a
+        # pre-rolled plane carries a lazy offset layout and every binary
+        # op mixing it with aligned operands pays a relayout (the
+        # sgm_cost.py bt-vs-btns finding); a dynamic amount forces one
+        # canonical materialization
         for k in range(8):
             dd = 8 * b + k
-            ds = rolled_d[:, k : k + W]
-            ks = rolled_k[:, k : k + W]
+            s = (Wp1 - dd) % Wp1
+            ds = pltpu.roll(dp, s, axis=1)[:, :W]
+            ks = pltpu.roll(kp, s, axis=1)[:, :W]
             hit = (ds == dd) & (dd < n_w)
             best = jnp.minimum(best, jnp.where(hit, ks, _BIGKEY))
         return best
@@ -82,10 +86,11 @@ def _kernel(d_ref, k_ref, *rest, R, W, Wp1, Wp2, P, n_w, r_lo, n_r,
     accs = [jnp.full((R, W), invalid, jnp.int32) for _ in range(n_rb)]
 
     def rb_block(b, accs):
-        rolled = pltpu.roll(sc, (r_lo + 8 * b + 7 - P) % Wp2, axis=1)
         for k in range(8):
             dd = r_lo + 8 * b + k
-            sh = rolled[:, 7 - k : 7 - k + W]
+            # dynamic roll per candidate (same relayout rationale as
+            # win_block)
+            sh = pltpu.roll(sc, (dd - P) % Wp2, axis=1)[:, :W]
             ok = dd < r_lo + n_r
             accs = tuple(
                 jnp.where((rm[...] == dd) & ok, sh, acc)

@@ -55,7 +55,13 @@ def _kernel(*refs, R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype,
     in_dma = pltpu.make_async_copy(planes_hbm.at[:, i], pin, in_sems)
     in_dma.start()
     in_dma.wait()
-    # plane order: ls, lu0, lu1, lraw, lru0, lru1, rs, rv0, rv1, rraw, rrv0, rrv1
+    # plane order: ls, lu0, lu1, lraw, lru0, lru1, packA, packB -- the six
+    # right-image planes are 8-bit values packed four/two to an int32
+    # (packA = rs | rv0<<8 | rv1<<16 | rraw<<24, packB = rrv0 | rrv1<<8):
+    # the per-disparity lane-misaligned slices are the kernel's dominant
+    # cost (measured: full BT arithmetic with ALIGNED slices is free,
+    # tools/cost_floor.py btns vs bt), so each disparity slices 2 packed
+    # planes instead of 6 and unpacks with cheap shifts/ands after.
     P = pin[...]
 
     def left(k):
@@ -116,65 +122,90 @@ def _kernel(*refs, R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype,
         for c in range(n_chunks):
             out_dma(c, i - 1).wait()
 
+    def vert_win(h):
+        # vertical window: sublane rolls + one tile-aligned slice (the
+        # h[r : r + R] slices were sublane-misaligned -> relayouts);
+        # wrapped rows land at sublane >= Rh - r >= R, outside the slice
+        vacc = h
+        for r in range(1, bs):
+            vacc = vacc + pltpu.roll(h, -r % Rh, axis=0)
+        return vacc[0:R]
+
+    def pix_at(db, k):
+        # ONE dynamic roll per packed plane per disparity, sliced at
+        # lane 0: a static-offset slice of a pre-rolled plane gets a
+        # lazy offset layout, and every of the ~8 binary ops mixing it
+        # with the offset-0 left planes then pays a full relayout
+        # (measured +4.2ms/frame, tools/cost_floor.py bt vs btns); a
+        # dynamic roll amount forces ONE canonical materialization.
+        sk = (8 * db + k - minX1) % Wp
+        if variant == "btns":
+            # measurement only: one shared alignment for all k (wrong
+            # disparity indexing) -- the no-relayout floor
+            sk = (8 * db + 8 - minX1) % Wp
+
+        a = pltpu.roll(P[6], sk, axis=1)[:, :W1]
+        b = pltpu.roll(P[7], sk, axis=1)[:, :W1]
+        rs_ = a & 255
+        rv0_ = (a >> 8) & 255
+        rv1_ = (a >> 16) & 255
+        pix = bt(ls, lu0, lu1, rs_, rv0_, rv1_)
+        if variant not in ("bt1", "btns"):
+            # "bt1" drops the raw-image BT term (half the arithmetic)
+            # to split arithmetic cost from loop/slice overhead
+            rraw_ = (a >> 24) & 255
+            rrv0_ = b & 255
+            rrv1_ = (b >> 8) & 255
+            pix = pix + (
+                bt(lraw, lru0, lru1, rraw_, rrv0_, rrv1_) >> 2
+            )  # (Rh, W1)
+        return pix
+
     def block(db, _):
         chunk = db // blocks_per_chunk
         dd = db % blocks_per_chunk
 
-        # rolled[j] = P[j + minX1 - 8*db - 8] for j in [0, W1 + 8)
-        shift = (Wp + 8 * db + 8 - minX1) % Wp
-        rolled = [pltpu.roll(P[kk], shift, axis=1) for kk in range(6, 12)]
-
-        for k in range(8):
-            o = 8 - k  # rolled[o + j] = P[j + minX1 - (8*db + k)]
-            if variant == "btns":
-                o = 0  # measurement only: lane-ALIGNED slices (wrong
-                # disparity indexing) isolate the per-k misaligned-slice
-                # relayout cost from the BT arithmetic
-
-            def right(idx):
-                return rolled[idx - 6][:, o : o + W1]
-
-            pix = bt(ls, lu0, lu1, right(6), right(7), right(8))
-            if variant not in ("bt1", "btns"):
-                # "bt1" drops the raw-image BT term (half the arithmetic)
-                # to split arithmetic cost from loop/slice overhead
-                pix = pix + (
-                    bt(lraw, lru0, lru1, right(9), right(10), right(11)) >> 2
-                )  # (Rh, W1)
-            # variant is a measurement knob (tools/cost_floor.py): the
-            # non-"full"/"mxuh" settings keep the loop + DMA structure but
-            # drop compute stages to expose each stage's cost in isolation.
-            if variant == "null":
-                acc = ls[0:R]
-            elif variant in ("bt", "bt1", "btns"):
-                acc = pix[0:R]
-            else:
-                if variant == "mxuh":
-                    # horizontal replicate-border window as ONE int8 MXU
-                    # dot against the banded weight matrix (weights 1-3;
-                    # pix <= 2*ftzero + 63 <= 127 for ftzero <= 32, so
-                    # int8 products are exact; int32 accumulation)
-                    h = jax.lax.dot_general(
-                        pix.astype(jnp.int8), band[...],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )
+        # variant is a measurement knob (tools/cost_floor.py): the
+        # non-"full"/"mxuh" settings keep the loop + DMA structure but
+        # drop compute stages to expose each stage's cost in isolation.
+        if variant in ("null", "bt", "bt1", "btns", "bth"):
+            for k in range(8):
+                pix = pix_at(db, k)
+                if variant == "null":
+                    acc = ls[0:R]
+                elif variant == "bth":
+                    acc = horiz_win(pix)[0:R]
                 else:
-                    h = horiz_win(pix)
-                if variant == "bth":
-                    acc = h[0:R]
-                else:  # "full" / "mxuh": vertical window
-                    # vertical window: sublane rolls + one tile-aligned
-                    # slice (the h[r : r + R] slices were sublane-
-                    # misaligned -> relayouts); wrapped rows land at
-                    # sublane >= Rh - r >= R, outside the slice
-                    vacc = h
-                    for r in range(1, bs):
-                        vacc = vacc + pltpu.roll(h, -r % Rh, axis=0)
-                    acc = vacc[0:R]
-            # dims (chunk, row, d-block, k, lane): dd indexes a non-tiled
-            # dim (static k stays the sublane index)
-            obuf[chunk, :, dd, k, :] = acc.astype(out_dtype)
+                    acc = pix[0:R]
+                obuf[chunk, :, dd, k, :] = acc.astype(out_dtype)
+        elif variant == "mxuh":
+            for k in range(8):
+                pix = pix_at(db, k)
+                # horizontal replicate-border window as ONE int8 MXU
+                # dot against the banded weight matrix (weights 1-3;
+                # pix <= 2*ftzero + 63 <= 127 for ftzero <= 32, so
+                # int8 products are exact; int32 accumulation)
+                h = jax.lax.dot_general(
+                    pix.astype(jnp.int8), band[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                obuf[chunk, :, dd, k, :] = vert_win(h).astype(out_dtype)
+        else:  # "full": window sums on PAIRED disparity planes
+            # pix <= 2*ftzero + (255 >> 2) <= 189 and the 5x5 window sum
+            # <= 25 * 189 = 4725 < 2^15, so two disparities ride one
+            # int32 in 16-bit fields with no cross-field carry: both
+            # window passes (the kernel's second-largest cost after the
+            # BT relayouts) run at half the plane ops.
+            for k2 in range(4):
+                p0 = pix_at(db, 2 * k2)
+                p1_ = pix_at(db, 2 * k2 + 1)
+                packed = p0 + (p1_ << 16)
+                vacc = vert_win(horiz_win(packed))
+                obuf[chunk, :, dd, 2 * k2, :] = (
+                    vacc & 0xFFFF).astype(out_dtype)
+                obuf[chunk, :, dd, 2 * k2 + 1, :] = (
+                    vacc >> 16).astype(out_dtype)
 
         @pl.when(dd == blocks_per_chunk - 1)
         def _():
@@ -276,10 +307,16 @@ def sgm_cost_volume_pallas(
         p = jnp.pad(p, ((0, 0), (0, Wp - W)))
         return jnp.stack([p[i * R : i * R + Rh_pad] for i in range(H // R)])
 
+    # right-image planes are 8-bit values (sobel-clamped <= 2*ftzero <=
+    # 126, raw <= 255, half-pixel interpolants within those ranges),
+    # packed 4+2 per int32 so the kernel's per-disparity lane-misaligned
+    # slices touch 2 planes instead of 6 (see _kernel plane-order note)
+    packA = (rs + (rv0 << 8) + (rv1 << 16) + (rraw << 24)).astype(jnp.int32)
+    packB = (rrv0 + (rrv1 << 8)).astype(jnp.int32)
     planes = jnp.stack(
         [prep(x.astype(jnp.int32)) for x in
-         (ls, lu0, lu1, lraw, lru0, lru1, rs, rv0, rv1, rraw, rrv0, rrv1)]
-    )  # (12, H // R, Rh_pad, Wp)
+         (ls, lu0, lu1, lraw, lru0, lru1, packA, packB)]
+    )  # (8, H // R, Rh_pad, Wp)
 
     n_chunks = 2 if (D // 8) % 2 == 0 else 1
     kernel = functools.partial(
@@ -288,7 +325,7 @@ def sgm_cost_volume_pallas(
     )
     operands = [planes]
     scratches = [
-        pltpu.VMEM((12, Rh_pad, Wp), jnp.int32),
+        pltpu.VMEM((8, Rh_pad, Wp), jnp.int32),
         pltpu.VMEM(
             (n_chunks, R, D // 8 // n_chunks, 8, W1), dtype
         ),

@@ -37,9 +37,14 @@ def vol_transpose(x, block=384, interpret=False):
     import os
 
     A, D, B = x.shape
-    if A % 128 or B % 128 or D % 8 or os.environ.get(
-        "RTDM_NO_PALLAS_TRANSPOSE", ""
-    ) not in ("", "0"):
+    # XLA's native transpose measures FASTER than this kernel at the
+    # flagship shape (1.45ms vs 2.4ms device for (768, 128, 1152) int16,
+    # round-3 profile_chain), so it is the default; RTDM_PALLAS_TRANSPOSE=1
+    # re-enables the kernel (and RTDM_NO_PALLAS_TRANSPOSE=1 still forces
+    # XLA for bench-ladder compatibility).
+    use_pallas = os.environ.get("RTDM_PALLAS_TRANSPOSE", "") == "1" and (
+        os.environ.get("RTDM_NO_PALLAS_TRANSPOSE", "") in ("", "0"))
+    if A % 128 or B % 128 or D % 8 or not use_pallas:
         return jnp.transpose(x, (2, 1, 0))
 
     def pick(n):
