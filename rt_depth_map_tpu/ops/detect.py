@@ -74,9 +74,24 @@ def detect_objects(
     bh = (maxy - miny) + 1
     keep = is_root & (bw * bh >= jnp.asarray(min_size, jnp.int32))
 
-    # first max_objects roots in raster (== label) order: top_k of -index
+    # first max_objects roots in raster (== label) order: top_k of -index.
+    # Two-stage EXACT top-k: a global lax.top_k over H*W elements lowers
+    # to a full sort on TPU (~1.2ms at 720p); per-chunk top-k over a
+    # (G, chunk) reshape followed by top-k of the G*max_objects
+    # candidates returns the identical set (any global top element is a
+    # top element of its chunk).
     score = jnp.where(keep, -idx1, -jnp.int32(2**30))
-    neg, root_idx = jax.lax.top_k(score, max_objects)
+    chunk = 2048
+    if n % chunk == 0 and n // chunk >= 2:
+        G = n // chunk
+        s2 = score.reshape(G, chunk)
+        cand_s, cand_i = jax.lax.top_k(s2, max_objects)  # (G, K) batched
+        base = (jnp.arange(G, dtype=jnp.int32) * chunk)[:, None]
+        cand_i = cand_i.astype(jnp.int32) + base
+        neg, pos = jax.lax.top_k(cand_s.reshape(-1), max_objects)
+        root_idx = cand_i.reshape(-1)[pos]
+    else:
+        neg, root_idx = jax.lax.top_k(score, max_objects)
     valid = neg != -jnp.int32(2**30)
     r = jnp.where(valid, root_idx, 0)
     # top_k returns descending score == ascending index: raster order already

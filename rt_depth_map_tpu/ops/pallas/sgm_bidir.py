@@ -194,15 +194,26 @@ def sgm_horiz_bidir_dh(Ct, p1, p2, interpret=False):
     # frames along H, growing every buffer proportionally)
     import os
 
+    itemsize = jnp.dtype(io_dtype).itemsize
+
+    def vmem_need(kb):
+        # 4 double-buffered (2, KB, D, H) stream buffers + 2 int32 carries
+        return 8 * kb * D * H * itemsize + 8 * D * H
+
     if os.environ.get("RTDM_HBIDIR_KB", ""):  # hardware-tuning override
         KB = int(os.environ["RTDM_HBIDIR_KB"])
     else:
-        KB = 4 if W1 % 8 == 0 else 1
-    # the fit clamp applies to the tuned override too: TUNED.env knobs are
-    # swept at b1 shapes, and the batched call stacks frames along H --
-    # KB=4 at B=4/720p asks for 27M of scoped vmem against the 16M limit
-    itemsize = jnp.dtype(io_dtype).itemsize
-    while KB > 1 and 8 * KB * D * H * itemsize + 8 * D * H > 12 * 2**20:
+        # the launch is fori-trip-overhead-bound (~20us/trip regardless of
+        # body size: tools/scratch_pass_floor.py measures null == full
+        # recurrence), so the default block is as large as VMEM allows --
+        # fewer trips, same DMA bytes and step math
+        KB = 32
+    # fit clamp (applies to the tuned override too: TUNED.env knobs are
+    # swept at b1 shapes, and the batched call stacks frames along H, so a
+    # knob swept at batch=1 can blow the budget at batch=4); also enforce
+    # the W1 % (2 * KB) visit-discipline constraint by shrinking
+    budget = 88 * 2**20  # v5e has 128M physical VMEM
+    while KB > 1 and (vmem_need(KB) > budget or W1 % (2 * KB)):
         KB //= 2
     if W1 % (2 * KB):
         raise ValueError(f"W1={W1} must be a multiple of {2 * KB}")
@@ -221,7 +232,10 @@ def sgm_horiz_bidir_dh(Ct, p1, p2, interpret=False):
             pltpu.VMEM((D, H), jnp.int32),
             buf(), buf(), buf(), buf(),
         ] + [pltpu.SemaphoreType.DMA((2,)) for _ in range(6)],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=interpret,
     )(Ct)
 
@@ -459,7 +473,15 @@ def sgm_vert_bidir_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
 
     p2 = max(p2, p1 + 1)
     io_dtype = C.dtype
-    KB = int(os.environ.get("RTDM_VBIDIR_KB", "2"))  # hardware-tuning knob
+    # default block: largest allowed (fori-trip overhead dominates, see
+    # sgm_horiz_bidir_dh); the kernel structure caps KB at 8
+    KB = int(os.environ.get("RTDM_VBIDIR_KB", "8"))  # hardware-tuning knob
+    while KB > 1 and (
+        8 % KB or H % (2 * KB)
+        or vbidir_vmem_bytes(H, W1, D, KB,
+                             jnp.dtype(io_dtype).itemsize) > 88 * 2**20
+    ):
+        KB //= 2
     if 8 % KB or H % (2 * KB):
         raise ValueError(f"KB={KB} must divide 8 and 2*KB must divide H={H}")
     kernel = functools.partial(
@@ -481,7 +503,10 @@ def sgm_vert_bidir_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
         + [pltpu.VMEM((2, 4, 8, W1), jnp.int32) for _ in range(2)]
         + [pltpu.SemaphoreType.DMA((2,)) for _ in range(6)]
         + [pltpu.SemaphoreType.DMA((2, 4)) for _ in range(2)],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=interpret,
     )(C, S_partial)
     return outs[0], outs[1], outs[2], outs[3]

@@ -111,12 +111,14 @@ def main():
           f"= {1e3 / total:6.1f} fps ceiling/chip")
     print()
     print("Interpretation: the ceiling above assumes zero launch overhead,")
-    print("zero pipeline-fill idle, and perfect VPU utilization inside the")
-    print("sequential SGM recurrences. The recurrences' step latency (not")
-    print("throughput) is what real kernels pay extra; batching (B frames")
-    print("stacked on lanes) and width-tiling amortize exactly that term,")
-    print("which is why the judged batch=4 / multi-chip points recover")
-    print("most of the gap between measured fps and this ceiling.")
+    print("zero pipeline-fill idle, and perfect VPU utilization. The")
+    print("measured gap above it is NOT recurrence math or carry latency:")
+    print("tools/scratch_pass_floor.py shows the full SGM step costs the")
+    print("same as a pure DMA copy (~2.2us/step). The dominant overhead is")
+    print("a fixed ~20us per Mosaic fori_loop trip (DMA semaphore +")
+    print("bookkeeping), so wall time ~= trips x 20us -- which is why the")
+    print("streaming kernels take the largest KB block VMEM allows, and")
+    print("why further gains need fewer trips, not leaner step math.")
 
 
 if __name__ == "__main__":

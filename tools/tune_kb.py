@@ -65,7 +65,9 @@ def main():
 
     print(f"shape {W}x{H} D={D} W1={W1} (times are ms/launch)", flush=True)
     results_h = {}
-    for kb in (1, 2, 4, 8):
+    # launches are fori-trip-overhead-bound (~20us/trip), so large blocks
+    # matter most; the kernels' own fit clamp shrinks infeasible values
+    for kb in (4, 8, 16, 32):
         if W1 % (2 * kb):
             continue
         os.environ["RTDM_HBIDIR_KB"] = str(kb)
@@ -87,15 +89,15 @@ def main():
     from rt_depth_map_tpu.ops.pallas.sgm_bidir import vbidir_vmem_bytes
 
     results_v = {}
-    for kb in (1, 2, 4, 8):
+    for kb in (2, 4, 8):
         if 8 % kb or H % (2 * kb):
             continue
         need = vbidir_vmem_bytes(H, W1, D, kb, 2)
-        if need > 16 * 2**20:
-            # would OOM the 16MB scoped-vmem default; a failing compile
-            # costs ~40s of harvest budget for a known answer
+        if need > 88 * 2**20:
+            # would OOM the kernel's raised 100M scoped-vmem budget; a
+            # failing compile costs ~40s of harvest for a known answer
             print(f"  vbidir KB={kb}: skipped (needs {need / 2**20:.1f}M "
-                  f"scoped vmem > 16M)", flush=True)
+                  f"scoped vmem > 88M)", flush=True)
             continue
         os.environ["RTDM_VBIDIR_KB"] = str(kb)
 
