@@ -591,8 +591,11 @@ def stereo_sgbm_batch(
         and not _env_flag("RTDM_NO_BATCH_STACK")
     )
     if not fused:
-        return jax.lax.map(
-            lambda lr: stereo_sgbm(lr[0], lr[1], cfg), (lefts, rights)
+        # python-unrolled, not lax.map: the per-frame matcher contains
+        # Pallas calls and XLA's fusion pass CHECK-crashes on custom calls
+        # inside scan bodies at 720p shapes (see the fused path below)
+        return jnp.stack(
+            [stereo_sgbm(lefts[i], rights[i], cfg) for i in range(B)]
         )
 
     from rt_depth_map_tpu.ops.pallas.sgm_bidir import (

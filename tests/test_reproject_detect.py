@@ -123,3 +123,40 @@ def test_detect_empty_mask():
     m = np.zeros((16, 16), np.uint8)
     boxes = np.asarray(detect_objects(jnp.asarray(m), 1, 4))
     assert boxes[:, 4].sum() == 0
+
+
+def test_detect_two_stage_topk_matches_global():
+    """The chunked two-stage top-k path (H*W % 2048 == 0) must return the
+    exact same boxes as the global top_k: many small components spread
+    across chunk boundaries, more components than max_objects."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from rt_depth_map_tpu.ops.detect import detect_objects
+
+    H, W = 64, 128  # 8192 = 4 chunks of 2048
+    rng = np.random.default_rng(11)
+    mask = np.zeros((H, W), np.uint8)
+    for _ in range(40):  # > max_objects, scattered over all chunks
+        y, x = rng.integers(1, H - 4), rng.integers(1, W - 4)
+        mask[y:y + 3, x:x + 3] = 255
+    boxes = np.asarray(detect_objects(jnp.asarray(mask), 4, 16))
+
+    # oracle: cv2 components, raster order of topmost-leftmost pixel
+    # (== min linear index order)
+    import cv2
+
+    n, lab, stats, _ = cv2.connectedComponentsWithStats(mask, connectivity=8)
+    roots = []
+    for i in range(1, n):
+        ys, xs = np.nonzero(lab == i)
+        if stats[i][2] * stats[i][3] >= 4:
+            roots.append((int((ys * W + xs).min()), i))
+    roots.sort()
+    want = []
+    for _, i in roots[:16]:
+        x, y, w, h = (int(v) for v in stats[i][:4])
+        want.append([x, y, w, h, 1])
+    want += [[0, 0, 0, 0, 0]] * (16 - len(want))
+    np.testing.assert_array_equal(boxes, np.asarray(want, np.int32))
