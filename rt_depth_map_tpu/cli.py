@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print per-object depth labels per frame")
     p.add_argument("--mjpeg", action="store_true",
                    help="JPEG-encode synthetic frames to exercise the decoder")
+    p.add_argument("--preload", type=int, default=0, metavar="N",
+                   help="upload N decoded pairs once and cycle them on "
+                   "device (zero-copy-ingest throughput mode; requires "
+                   "--frames)")
     p.add_argument("--post-filter", action="store_true",
                    help="WLS disparity refinement (ENABLE_POST_FILTER)")
     p.add_argument("--show-disparity-value", action="store_true",
@@ -215,7 +219,13 @@ def main(argv: Optional[list] = None) -> int:
             return False  # ESC/window close stops Engine.run
 
     consumer = on_frame if (args.print_depth or saver or viewer) else None
-    n = engine.run(frames=args.frames, on_frame=consumer)
+    if args.preload > 0:
+        if not args.frames:
+            print("--preload requires --frames", file=sys.stderr)
+            return 2
+        n = engine.run_preloaded(frames=args.frames, n_inputs=args.preload)
+    else:
+        n = engine.run(frames=args.frames, on_frame=consumer)
     if viewer is not None:
         viewer.close()
     if args.stats:

@@ -277,12 +277,26 @@ def sgm_cost_volume_pallas(
     import os
 
     try:  # operational override; malformed values keep the default set
-        candidates = (int(os.environ["RTDM_COST_R"]),)
+        candidates = (int(os.environ["RTDM_COST_R"]),) + candidates
     except (KeyError, ValueError):
         pass
-    R = next((r for r in candidates if r > 0 and H % r == 0), None)
+
+    def scratch_bytes(r):
+        # pin (8, Rh_pad, Wp) int32 + obuf (2-chunk output collect)
+        rh_pad = ((r + halo + 7) // 8) * 8
+        wp = ((W + 127) // 128) * 128
+        return (8 * rh_pad * wp * 4
+                + r * D * (W - D) * jnp.dtype(dtype).itemsize)
+
+    # the scratch must fit the scoped-vmem budget: at 720p/D=128 every
+    # candidate fits the 16M default, but 1080p/D=256 needs the limit
+    # raised AND large stripes rejected (R=20 asks 17.7M vs 16M default)
+    budget = 88 * 2**20
+    R = next((r for r in candidates
+              if r > 0 and H % r == 0 and scratch_bytes(r) <= budget), None)
     if R is None:
         R = 8  # H % 8 == 0 is a documented precondition
+    vmem_limit = min(100 * 2**20, max(32 * 2**20, scratch_bytes(R) * 2))
 
     ls, lraw = sgbm_preprocess(left, ftzero)
     rs, rraw = sgbm_preprocess(right, ftzero)
@@ -355,7 +369,10 @@ def sgm_cost_volume_pallas(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratches + sems,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=vmem_limit,
+        ),
         interpret=interpret,
     )(*operands)
     # (Ho, D//8, 8, W1) -> (Ho, D, W1) merges two contiguous dims whose (8,

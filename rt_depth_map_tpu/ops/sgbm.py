@@ -238,8 +238,15 @@ _DIRS_PASS2 = [(0, -1), (-1, -1), (-1, 0), (-1, 1)]
 def _use_pallas(cfg: MatcherConfig, H: int, width1: int, D: int) -> bool:
     """Fused Pallas path: explicit backend=pallas, or auto + shapes that tile
     the TPU vector layout. On CPU the kernels run in interpreter mode (only
-    selected when explicitly requested -- too slow for auto)."""
-    shapes_ok = D % 128 == 0 and width1 % 8 == 0 and H >= 2
+    selected when explicitly requested -- too slow for auto).
+
+    D needs only %16 (cv2's own StereoSGBM constraint; the kernels block
+    disparities in 8s) -- the reference's width-scaled default D=192 rides
+    this path. The vertical stage's W1 % 128 requirement is met by
+    zero-padding W1 (exact: the SGM step is shift-invariant in its carry,
+    so a uniform-carry zero column is indistinguishable from the
+    fresh-start fill when a sweep re-enters real columns)."""
+    shapes_ok = D % 16 == 0 and width1 % 8 == 0 and H >= 2
     if not shapes_ok:
         return False
     if cfg.backend == "pallas":
@@ -497,19 +504,33 @@ def stereo_sgbm(
                 vol_transpose,
             )
 
+            # The vertical stage wants W1 % 128; when the operating point
+            # misses it (e.g. the reference default D=192 at W=1280 ->
+            # W1=1088) pad with ZERO-cost columns. Exact: zero-cost
+            # columns converge to a d-uniform carry in one step, and the
+            # SGM step is shift-invariant in its carry, so a sweep
+            # re-entering real columns sees exactly the fresh-start fill;
+            # padded-column outputs are cropped below.
+            W1p = -(-width1 // 128) * 128
+            C_run = C_hdw
+            if W1p != width1:
+                C_run = jnp.pad(C_hdw, ((0, 0), (0, 0), (0, W1p - width1)))
             # The horizontal stage lives in 128-padded H space (its DMA
             # slabs put H on lanes); the cost kernel emitted C_hdw with Hp
-            # rows already (out_h above), so transpose with the tiled
-            # Pallas kernel (XLA's swapaxes runs at ~15% of HBM BW) and
-            # let the vertical stage read only the first H rows of the
-            # padded C and Sh.
-            Ct_p = vol_transpose(C_hdw, interpret=interp)  # (W1, D, Hp)
+            # rows already (out_h above), and the vertical stage reads
+            # only the first H rows of the padded C and Sh.
+            Ct_p = vol_transpose(C_run, interpret=interp)  # (W1p, D, Hp)
             Sh_t = sgm_horiz_bidir_dh(Ct_p, p1, p2, interpret=interp)
-            Sh = vol_transpose(Sh_t, interpret=interp)  # (Hp, D, W1)
+            Sh = vol_transpose(Sh_t, interpret=interp)  # (Hp, D, W1p)
             best, minS, dval, uniq = sgm_vert_bidir_wta_hdw(
-                C_hdw, Sh, p1, p2, cfg.uniqueness_ratio, interpret=interp,
+                C_run, Sh, p1, p2, cfg.uniqueness_ratio, interpret=interp,
                 true_h=H,
             )
+            if W1p != width1:
+                best = best[:, :width1]
+                minS = minS[:, :width1]
+                dval = dval[:, :width1]
+                uniq = uniq[:, :width1]
         elif cfg.num_paths >= 8:
             Ct = jnp.transpose(C_hdw, (2, 1, 0))  # (W1, D, H)
             hf = sgm_horiz_pass_dh(Ct, p1, p2, reverse=False,

@@ -81,14 +81,39 @@ def test_bm_pallas_knobs_bit_exact(env, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
-@pytest.mark.parametrize("paths", [4, 8])
-def test_sgm_pallas_matches_xla(paths):
+@pytest.mark.parametrize("paths,H", [(4, 16), (8, 16), (8, 24)])
+def test_sgm_pallas_matches_xla(paths, H):
     # Pallas SGM path wants D % 128 == 0, (W - D) % 128 == 0, H % 8 == 0,
-    # H >= 16 -- the smallest such operating point
-    left, right = stereo_pair(12, 16, 256, 9)
+    # H >= 16 -- the smallest such operating point. H=24 (H % 16 != 0)
+    # exercises the NON-fused vertical chain (horiz x2 + down + final
+    # WTA), the path 1080p-class heights take (use_bidir needs H % 16).
+    left, right = stereo_pair(12, H, 256, 9)
     kw = dict(
         kind="sgm", num_disparities=128, block_size=5, pre_filter_cap=63,
         p1=600, p2=2400, num_paths=paths, uniqueness_ratio=10,
+        speckle_window_size=50, speckle_range=32, disp12_max_diff=1,
+    )
+    ref = stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
+                      MatcherConfig(backend="xla", **kw))
+    got = stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
+                      MatcherConfig(backend="pallas", **kw))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("D,W,H", [
+    (48, 176, 16),   # D % 128 != 0, W1 = 128 (the reference-default-D
+                     # class: D=192 at 1280 wide scales to this)
+    (48, 200, 16),   # W1 = 152 % 128 != 0 -> zero-padded W1 aggregation
+    (48, 200, 24),   # same, on the non-fused vertical chain (H % 16 != 0)
+])
+def test_sgm_pallas_nonmult128_disparities(D, W, H):
+    """The width-scaled reference default (D=192 at 1280 wide) misses the
+    old D % 128 gate; these shapes pin the relaxed gate + the zero-padded
+    W1 aggregation bit-exact vs XLA."""
+    left, right = stereo_pair(21, H, W, 9)
+    kw = dict(
+        kind="sgm", num_disparities=D, block_size=5, pre_filter_cap=63,
+        p1=600, p2=2400, num_paths=8, uniqueness_ratio=10,
         speckle_window_size=50, speckle_range=32, disp12_max_diff=1,
     )
     ref = stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
