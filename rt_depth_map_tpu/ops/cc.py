@@ -310,6 +310,10 @@ def component_small(
     Reference behavior: cv::filterSpeckles' size test (SURVEY.md
     section 2.9a item 4)."""
     H, W = labels.shape
+    # force_pallas skips only the backend/vmem-fit heuristic; shape
+    # preconditions are enforced by the kernels themselves
+    # (label_histogram_banded raises on W % 128 and handles H % 8 != 0
+    # via its padded accumulator).
     use_fast = force_pallas or (
         _use_pallas_cc(H, W) and W % 128 == 0
     )

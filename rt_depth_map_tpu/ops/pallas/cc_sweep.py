@@ -26,9 +26,12 @@ while-loop body; at (N=4, 720, 1280) Mosaic's register allocator needed
 228MB of spill slots and the compile permanently failed (vmem OOM, see
 VERDICT.md round 2). Two structural rules keep the live set bounded now:
 
-  1. the Hillis-Steele doubling runs as a `fori_loop` with a DYNAMIC
-     `pltpu.roll` amount (1 << i), so the compiler sees log2(N)
-     iterations of one small body instead of 11 unrolled steps;
+  1. the Hillis-Steele doubling unrolls STATICALLY by default (safe:
+     only one scan of one field is ever live at a time, see rule 2, so
+     the round-2 spill blow-up cannot recur); the dynamic-`pltpu.roll`
+     fori_loop variant -- one small body for the register allocator at
+     ~20us/iteration of Mosaic loop overhead -- stays selectable via
+     RTDM_CC_DYN_ROLL=1 as the low-register-pressure fallback;
   2. fields propagate SEQUENTIALLY, each in its own convergence
      while_loop, DMA'd HBM->VMEM->HBM one at a time -- VMEM cost is
      independent of N (correct because fields propagate independently

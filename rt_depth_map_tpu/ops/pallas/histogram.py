@@ -83,7 +83,10 @@ def _kernel(rho_hbm, gam_hbm, A_ref, rbuf, gbuf, sems, *,
 
 def _banded_kernel(rho_hbm, gam_hbm, A_ref, apad, rbuf, gbuf, sems, *,
                    NB, H, W, Sr, dot_dtype):
+    # apad is sized (NB * 8 + Sr, W): the last block's accumulate spans rows
+    # [NB*8 - 8, NB*8 + Sr), which exceeds H + Sr when H % 8 != 0
     Br = Sr + 8
+    Hp = NB * 8
 
     def in_dma(slot, b):
         return [
@@ -93,7 +96,7 @@ def _banded_kernel(rho_hbm, gam_hbm, A_ref, apad, rbuf, gbuf, sems, *,
                                   sems.at[slot, 1]),
         ]
 
-    apad[...] = jnp.zeros((H + Sr, W), jnp.int32)
+    apad[...] = jnp.zeros((Hp + Sr, W), jnp.int32)
     for d in in_dma(0, 0):
         d.start()
 
@@ -180,7 +183,7 @@ def label_histogram_banded(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((H + Sr, W), jnp.int32),
+            pltpu.VMEM((Hp + Sr, W), jnp.int32),
             pltpu.VMEM((2, 1, 8 * W), jnp.int32),
             pltpu.VMEM((2, 1, 8 * W), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),

@@ -568,6 +568,8 @@ class Engine:
         the device program, not the host->device link. On the dev rig it
         removes the ~100ms/frame tunnel h2d the per-frame path pays, so
         the CLI sustains the same frames/s the bench measures."""
+        if frames <= 0:
+            return 0
         st = self.stats
         pairs = []
         with st.measure("preload (grab+decode+h2d)"):
@@ -578,6 +580,11 @@ class Engine:
                 if pair is None:
                     continue
                 pairs.append((jnp.asarray(pair[0]), jnp.asarray(pair[1])))
+            if not pairs:
+                raise RuntimeError(
+                    "run_preloaded: no frame pair could be grabbed+decoded "
+                    f"in {guard} attempts (source unhealthy?)"
+                )
             jax.block_until_ready(pairs[-1])
         hsv_lo = jnp.asarray(self.hsv_low)
         hsv_hi = jnp.asarray(self.hsv_high)

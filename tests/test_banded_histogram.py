@@ -84,6 +84,27 @@ def test_banded_histogram_decision(seed, max_size):
             assert got > max_size, (root, size, got)
 
 
+@pytest.mark.parametrize("H", [41, 47, 52])
+def test_banded_histogram_h_not_multiple_of_8(H):
+    """Regression (round-3 advisor, histogram.py apad sizing): when
+    H % 8 != 0 the last block's accumulate used to write past the (H+Sr, W)
+    scratch, silently corrupting counts; apad is now (Hp+Sr, W)."""
+    W, max_size = 128, 10
+    m = _mask_with_snakes(H, W, seed=4)
+    vals = np.zeros((H, W), np.int32)
+    sizes = brute_sizes(m, vals, 0, 4)
+    labels = connected_components_scan(
+        jnp.asarray(vals), jnp.asarray(m), 0, 4)
+    A = np.asarray(label_histogram_banded(labels, jnp.asarray(m), max_size,
+                                          interpret=True))
+    for root, size in sizes.items():
+        got = A[root // W, root % W]
+        if size <= max_size:
+            assert got == size, (root, size, got)
+        else:
+            assert got > max_size, (root, size, got)
+
+
 @pytest.mark.parametrize("connectivity", [4, 8])
 def test_component_small_matches_brute(connectivity):
     H, W = 40, 128
