@@ -284,6 +284,9 @@ def main():
             (1280, 720, 128, "sgm", 1),
             (1280, 720, 128, "bm", 4),
             (1280, 720, 128, "sgm", 4),
+            # stretch operating point (BASELINE.md row 5): single-chip cell;
+            # the 8-camera N>=2-host form tiles this across chips
+            (1920, 1080, 256, "sgm", 1),
         ]
         results = []
         for W, H, D, kind, b in cells:
