@@ -74,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="upload N decoded pairs once and cycle them on "
                    "device (zero-copy-ingest throughput mode; requires "
                    "--frames)")
+    p.add_argument("--synthetic-ring", type=int, default=8, metavar="N",
+                   help="pre-rendered synthetic frame ring size (0 = "
+                   "re-render every frame; default 8: a camera delivers "
+                   "frames at sensor rate, the numpy scene painter does not)")
+    p.add_argument("--no-prefetch", action="store_true",
+                   help="disable the background grab+decode thread "
+                   "(capture then serializes in front of dispatch, like "
+                   "the reference's single-buffered V4L2 loop)")
     p.add_argument("--post-filter", action="store_true",
                    help="WLS disparity refinement (ENABLE_POST_FILTER)")
     p.add_argument("--show-disparity-value", action="store_true",
@@ -171,6 +179,7 @@ def main(argv: Optional[list] = None) -> int:
             cfg.capture_height or cfg.height,
             seed=cfg.seed,
             encode="mjpeg" if args.mjpeg else "raw",
+            ring=args.synthetic_ring,
         )
 
     from rt_depth_map_tpu.pipeline import Engine
@@ -225,7 +234,8 @@ def main(argv: Optional[list] = None) -> int:
             return 2
         n = engine.run_preloaded(frames=args.frames, n_inputs=args.preload)
     else:
-        n = engine.run(frames=args.frames, on_frame=consumer)
+        n = engine.run(frames=args.frames, on_frame=consumer,
+                       prefetch=not args.no_prefetch)
     if viewer is not None:
         viewer.close()
     if args.stats:

@@ -120,6 +120,11 @@ class EngineConfig:
     source: str = "synthetic"
     source_path: Optional[str] = None
     seed: int = 0
+    # pre-rendered frame ring for the synthetic source (0 = render every
+    # frame): a camera delivers frames at sensor rate; re-painting the
+    # numpy scene per grab serialized ~270ms in front of the device
+    # pipeline (host-ingest-at-rate, SURVEY.md section 7 hard part 6)
+    synthetic_ring: int = 8
 
     # Feature flags (reference include/estimator.h:32-34 compile-time flags,
     # runtime here).

@@ -247,7 +247,7 @@ def _vert_bidir_wta_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm,
                            inD_sems, inU_sems, shD_sems, shU_sems,
                            rwD_sems, rwU_sems, obD_sems, obU_sems,
                            *, H, W1, D, p1, p2, uniqueness_ratio,
-                           io_dtype, KB):
+                           io_dtype, KB, seg=None):
     """Down3 + up3 + WTA over (H, D, W1) in one launch. First half: each
     sweep writes its raw 3-direction sum to raw_hbm. Second half: each
     sweep reads the other's raw block, adds its own 3 directions and the
@@ -313,6 +313,17 @@ def _vert_bidir_wta_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm,
             for k, t in enumerate(targets)
         ]
 
+    # Lane-stacked batching (seg = per-frame W1): the diagonal carries'
+    # x +/- 1 shifts must re-create each frame's zero image border instead
+    # of leaking the neighbor frame's edge column. The masks are
+    # loop-invariant iota expressions hoisted out of both fori_loops.
+    if seg is not None and seg != W1:
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, W1), 1)
+        e_lo = (pos % seg) == 0
+        e_hi = (pos % seg) == (seg - 1)
+    else:
+        e_lo = e_hi = None
+
     for c in (cD0, cD1, cD2, cU0, cU1, cU2):
         c[...] = jnp.zeros((D, W1), jnp.int32)
     inD(0, 0).start()
@@ -339,9 +350,9 @@ def _vert_bidir_wta_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm,
             CD = crD[slot, k].astype(jnp.int32)
             CU = crU[slot, ku].astype(jnp.int32)
             D0, D1, D2 = _three_dirs(CD, cD0[...], cD1[...], cD2[...],
-                                     p1, p2)
+                                     p1, p2, e_lo, e_hi)
             U0, U1, U2 = _three_dirs(CU, cU0[...], cU1[...], cU2[...],
-                                     p1, p2)
+                                     p1, p2, e_lo, e_hi)
             cD0[...], cD1[...], cD2[...] = D0, D1, D2
             cU0[...], cU1[...], cU2[...] = U0, U1, U2
             rwD[slot, k] = (D0 + D1 + D2).astype(io_dtype)
@@ -397,9 +408,9 @@ def _vert_bidir_wta_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm,
             CD = crD[slot, k].astype(jnp.int32)
             CU = crU[slot, ku].astype(jnp.int32)
             D0, D1, D2 = _three_dirs(CD, cD0[...], cD1[...], cD2[...],
-                                     p1, p2)
+                                     p1, p2, e_lo, e_hi)
             U0, U1, U2 = _three_dirs(CU, cU0[...], cU1[...], cU2[...],
-                                     p1, p2)
+                                     p1, p2, e_lo, e_hi)
             cD0[...], cD1[...], cD2[...] = D0, D1, D2
             cU0[...], cU1[...], cU2[...] = U0, U1, U2
             SD = (D0 + D1 + D2 + rwD[slot, k].astype(jnp.int32)
@@ -453,7 +464,7 @@ def vbidir_vmem_bytes(H, W1, D, KB, io_itemsize=2):
 
 
 def sgm_vert_bidir_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
-                           interpret=False, true_h=None):
+                           interpret=False, true_h=None, seg=None):
     """Fused down3 + up3 + WTA over (H, D, W1) cost C with horizontal
     partial S_partial: one launch replacing sgm_down_pass_hdw +
     sgm_final_wta_hdw(reverse=True) bit-exactly, at half the sequential
@@ -462,11 +473,18 @@ def sgm_vert_bidir_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
     Both C and S_partial may carry extra (padded) rows beyond the true
     image height (pass it as true_h when C is padded); rows >= true_h are
     never read (the horizontal stage works in 128-padded H space, and the
-    cost kernel can emit that space directly via out_h)."""
+    cost kernel can emit that space directly via out_h).
+
+    seg: per-frame width when W1 lane-stacks B frames (W1 = B * seg,
+    multi-stream batching): diagonal carry shifts zero each frame's border
+    column, making the stacked run bit-identical to B per-frame runs while
+    the per-row dependency stall amortizes over B frames."""
     H = C.shape[0] if true_h is None else true_h
     D, W1 = C.shape[1], C.shape[2]
     if W1 % 128 or H % 16:
         raise ValueError(f"(H, W1) = ({H}, {W1}) must tile (16, 128)")
+    if seg is not None and (W1 % seg or seg % 128):
+        raise ValueError(f"seg={seg} must divide W1={W1} and tile 128 lanes")
     assert C.shape[0] >= H
     assert S_partial.shape[0] >= H and S_partial.shape[1:] == (D, W1)
     import os
@@ -487,6 +505,7 @@ def sgm_vert_bidir_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
     kernel = functools.partial(
         _vert_bidir_wta_kernel, H=H, W1=W1, D=D, p1=p1, p2=p2,
         uniqueness_ratio=uniqueness_ratio, io_dtype=io_dtype, KB=KB,
+        seg=seg,
     )
     out = jax.ShapeDtypeStruct((H, W1), jnp.int32)
     buf = lambda dt: pltpu.VMEM((2, KB, D, W1), dt)  # noqa: E731

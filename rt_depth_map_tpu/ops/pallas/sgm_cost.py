@@ -28,7 +28,7 @@ from rt_depth_map_tpu.ops.sgbm import _halfpix, sgbm_preprocess
 
 
 def _kernel(*refs, R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype,
-            n_chunks, variant):
+            n_chunks, variant, n_stripes=None):
     if variant == "mxuh":
         (planes_hbm, band_hbm, C_hbm, pin, obuf, band,
          in_sems, out_sems, band_sem) = refs
@@ -97,13 +97,24 @@ def _kernel(*refs, R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype,
         # reshape outside: the (8, W1) tile layout is identical); one DMA
         # ships d_chunk disparities at once -- per-8-disparity DMAs were
         # issue-bound (16 DMAs x ~2us x 90 stripes ~= 3ms/frame at 720p).
-        return pltpu.make_async_copy(
-            obuf.at[chunk],
-            C_hbm.at[
+        # Lane-stacked batching (n_stripes set): program prog handles frame
+        # prog // n_stripes, stripe prog % n_stripes, and the frame's
+        # volume lands at lane offset b * W1 of the (Ho, D//8, 8, B*W1)
+        # output (the layout the batched vertical/WTA stage consumes).
+        if n_stripes is None:
+            dst = C_hbm.at[
                 pl.ds(prog * R, R), pl.ds(chunk * (d_chunk // 8), d_chunk // 8)
-            ],
-            out_sems.at[chunk],
-        )
+            ]
+        else:
+            s = prog % n_stripes
+            b = prog // n_stripes
+            dst = C_hbm.at[
+                pl.ds(s * R, R),
+                pl.ds(chunk * (d_chunk // 8), d_chunk // 8),
+                slice(None),
+                pl.ds(pl.multiple_of(b * W1, 128), W1),
+            ]
+        return pltpu.make_async_copy(obuf.at[chunk], dst, out_sems.at[chunk])
 
     # Disparity loop structure: a fori_loop over 8-disparity blocks (a fully
     # unrolled 128-step loop takes Mosaic ~4 minutes to compile), with ONE
@@ -250,9 +261,17 @@ def sgm_cost_volume_pallas(
     production; "null"/"bt"/"bth" drop compute stages to isolate their
     cost; "mxuh" replaces the horizontal window rolls with an int8 MXU
     banded-matrix dot (bit-exact to "full" when ftzero <= 32, i.e.
-    pre_filter_cap <= 31: pix <= 2*ftzero + 63 <= 127 fits int8)."""
+    pre_filter_cap <= 31: pix <= 2*ftzero + 63 <= 127 fits int8).
+
+    Multi-stream batching: (B, H, W) inputs produce the LANE-STACKED
+    volume (Ho, D, B*W1) in one launch (grid = B * stripes; frame b's
+    volume occupies lanes [b*W1, (b+1)*W1)) -- the layout the batched
+    vertical/WTA stage consumes directly. hdw layout only; each frame's
+    lanes are bit-identical to its single-frame volume."""
     ftzero = max(pre_filter_cap, 15) | 1
-    H, W = left.shape
+    batched = left.ndim == 3
+    B = left.shape[0] if batched else 1
+    H, W = left.shape[-2:]
     D = num_disp
     minX1 = D  # min_disp == 0
     W1 = W - D
@@ -262,6 +281,8 @@ def sgm_cost_volume_pallas(
         raise ValueError(f"(H, W1, D) = ({H}, {W1}, {D}) must tile (8, 128, 8)")
     if out_h is not None and (layout != "hdw" or out_h < H or out_h % 8):
         raise ValueError("out_h needs layout='hdw', out_h >= H, out_h % 8 == 0")
+    if batched and layout != "hdw":
+        raise ValueError("batched cost volume requires layout='hdw'")
     Ho = H if out_h is None else out_h
     # Stripe height: the window compute runs on Rh_pad = round8(R + bs - 1)
     # sublanes per R output rows, so prefer the largest R (within the obuf
@@ -298,13 +319,6 @@ def sgm_cost_volume_pallas(
         R = 8  # H % 8 == 0 is a documented precondition
     vmem_limit = min(100 * 2**20, max(32 * 2**20, scratch_bytes(R) * 2))
 
-    ls, lraw = sgbm_preprocess(left, ftzero)
-    rs, rraw = sgbm_preprocess(right, ftzero)
-    lu0, lu1 = _halfpix(ls)
-    lru0, lru1 = _halfpix(lraw)
-    rv0, rv1 = _halfpix(rs)
-    rrv0, rrv1 = _halfpix(rraw)
-
     Wp = ((W + 127) // 128) * 128
     Rh = R + halo
     Rh_pad = ((Rh + 7) // 8) * 8
@@ -321,21 +335,37 @@ def sgm_cost_volume_pallas(
         p = jnp.pad(p, ((0, 0), (0, Wp - W)))
         return jnp.stack([p[i * R : i * R + Rh_pad] for i in range(H // R)])
 
-    # right-image planes are 8-bit values (sobel-clamped <= 2*ftzero <=
-    # 126, raw <= 255, half-pixel interpolants within those ranges),
-    # packed 4+2 per int32 so the kernel's per-disparity lane-misaligned
-    # slices touch 2 planes instead of 6 (see _kernel plane-order note)
-    packA = (rs + (rv0 << 8) + (rv1 << 16) + (rraw << 24)).astype(jnp.int32)
-    packB = (rrv0 + (rrv1 << 8)).astype(jnp.int32)
-    planes = jnp.stack(
-        [prep(x.astype(jnp.int32)) for x in
-         (ls, lu0, lu1, lraw, lru0, lru1, packA, packB)]
-    )  # (8, H // R, Rh_pad, Wp)
+    def frame_planes(lf, rf):
+        ls, lraw = sgbm_preprocess(lf, ftzero)
+        rs, rraw = sgbm_preprocess(rf, ftzero)
+        lu0, lu1 = _halfpix(ls)
+        lru0, lru1 = _halfpix(lraw)
+        rv0, rv1 = _halfpix(rs)
+        rrv0, rrv1 = _halfpix(rraw)
+        # right-image planes are 8-bit values (sobel-clamped <= 2*ftzero <=
+        # 126, raw <= 255, half-pixel interpolants within those ranges),
+        # packed 4+2 per int32 so the kernel's per-disparity lane-misaligned
+        # slices touch 2 planes instead of 6 (see _kernel plane-order note)
+        packA = (rs + (rv0 << 8) + (rv1 << 16) + (rraw << 24)).astype(jnp.int32)
+        packB = (rrv0 + (rrv1 << 8)).astype(jnp.int32)
+        return jnp.stack(
+            [prep(x.astype(jnp.int32)) for x in
+             (ls, lu0, lu1, lraw, lru0, lru1, packA, packB)]
+        )  # (8, H // R, Rh_pad, Wp)
+
+    if batched:
+        # frame-major stripe stacking: program i = b * n_stripes + s
+        planes = jnp.concatenate(
+            [frame_planes(left[b], right[b]) for b in range(B)], axis=1
+        )
+    else:
+        planes = frame_planes(left, right)
 
     n_chunks = 2 if (D // 8) % 2 == 0 else 1
     kernel = functools.partial(
         _kernel, R=R, W1=W1, Wp=Wp, D=D, minX1=minX1, min_disp=0, bs=bs,
         Rh=Rh_pad, out_dtype=dtype, n_chunks=n_chunks, variant=_variant,
+        n_stripes=(H // R) if batched else None,
     )
     operands = [planes]
     scratches = [
@@ -364,8 +394,8 @@ def sgm_cost_volume_pallas(
         sems.append(pltpu.SemaphoreType.DMA(()))
     C4 = pl.pallas_call(
         kernel,
-        grid=(H // R,),
-        out_shape=jax.ShapeDtypeStruct((Ho, D // 8, 8, W1), dtype),
+        grid=(B * (H // R),),
+        out_shape=jax.ShapeDtypeStruct((Ho, D // 8, 8, B * W1), dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratches + sems,
@@ -375,9 +405,9 @@ def sgm_cost_volume_pallas(
         ),
         interpret=interpret,
     )(*operands)
-    # (Ho, D//8, 8, W1) -> (Ho, D, W1) merges two contiguous dims whose (8,
-    # W1) tile layout is unchanged: free
-    C_hdw = C4.reshape(Ho, D, W1)
+    # (Ho, D//8, 8, B*W1) -> (Ho, D, B*W1) merges two contiguous dims whose
+    # (8, W1) tile layout is unchanged: free
+    C_hdw = C4.reshape(Ho, D, B * W1)
     if layout == "hdw":
         return C_hdw, minX1, W1
     C = jnp.transpose(C_hdw, (0, 2, 1))

@@ -64,18 +64,28 @@ def _sgm_step_hdw(C_slab, Lp, p1, p2):
     return C_slab + m - delta
 
 
-def _shift_lanes(L, dx):
+def _shift_lanes(L, dx, edge=None):
     """Zero-fill shift along W1 (lanes): previous pixel of direction
-    (dy, dx) at column x is column x - dx of the previous row."""
+    (dy, dx) at column x is column x - dx of the previous row.
+
+    edge (optional): (1, W1) bool plane marking the columns the shift
+    vacates -- used when several frames are stacked along the lane axis
+    (multi-stream batching): zeroing every per-frame border column after
+    a full-width roll reproduces, per frame, exactly the zero image
+    border OpenCV's aggregation starts from, so the stacked run is
+    bit-identical to per-frame runs."""
     if dx == 0:
         return L
-    return _roll_shift(L, dx, 0, 1)
+    if edge is None:
+        return _roll_shift(L, dx, 0, 1)
+    rolled = pltpu.roll(L, dx % L.shape[1], axis=1)
+    return jnp.where(edge, 0, rolled)
 
 
-def _three_dirs(C_slab, c0, c1, c2, p1, p2):
+def _three_dirs(C_slab, c0, c1, c2, p1, p2, e_lo=None, e_hi=None):
     L0 = _sgm_step_hdw(C_slab, c0, p1, p2)
-    L1 = _sgm_step_hdw(C_slab, _shift_lanes(c1, 1), p1, p2)
-    L2 = _sgm_step_hdw(C_slab, _shift_lanes(c2, -1), p1, p2)
+    L1 = _sgm_step_hdw(C_slab, _shift_lanes(c1, 1, e_lo), p1, p2)
+    L2 = _sgm_step_hdw(C_slab, _shift_lanes(c2, -1, e_hi), p1, p2)
     return L0, L1, L2
 
 

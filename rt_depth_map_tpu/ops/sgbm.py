@@ -589,15 +589,25 @@ def stereo_sgbm_batch(
     """(B, H, W) uint8 pairs -> (B, H, W) int16 disparities, each frame
     bit-identical to stereo_sgbm.
 
-    On the fused Pallas path the horizontal aggregation of all B frames
-    runs as ONE bidirectional launch with the frames stacked along the
-    lane (H) axis: the x recurrence never mixes lanes, so stacking is
-    exact, and the per-step dependency stall of the serial recurrence
-    amortizes over B frames' rows instead of being paid B times (the
-    multi-stream point of BASELINE.md). Cost volumes and the vertical+WTA
-    stage are per-frame lax.map (the vertical recurrence runs along the
-    stacked axis, so it cannot stack); everything downstream of WTA is
-    per-frame elementwise."""
+    On the fused Pallas path EVERY recurrence stage runs as ONE launch
+    over all B frames (the multi-stream point of BASELINE.md), stacked
+    along whichever axis its serial recurrence does NOT traverse so the
+    per-step dependency stall amortizes over B frames:
+
+      * cost volume: one launch, grid = B x stripes, emitting the
+        lane-stacked (Hp, D, B*W1) volume directly (no stack copy);
+      * horizontal bidir: frames stacked along the lane (H) axis of the
+        x-major volume -- the x recurrence never mixes lanes, stacking is
+        exact (one free 4-D view + XLA transpose on each side);
+      * vertical bidir + WTA: frames stacked along the lane (W1) axis
+        with per-frame border masking of the diagonal carry shifts
+        (seg=W1, bit-exact: each frame's shifted-in column is the zero
+        image border OpenCV starts from);
+      * LR check: frames stacked along rows (the shift-reduces are
+        row-local), one Pallas launch at H -> B*H.
+
+    Only the speckle filter (whole-image connected components: its
+    propagation field would not fit VMEM stacked) remains per-frame."""
     B, H, W = lefts.shape
     D = cfg.num_disparities
     minD = cfg.min_disparity
@@ -624,7 +634,6 @@ def stereo_sgbm_batch(
         sgm_vert_bidir_wta_hdw,
     )
     from rt_depth_map_tpu.ops.pallas.sgm_cost import sgm_cost_volume_pallas
-    from rt_depth_map_tpu.ops.pallas.vol_transpose import vol_transpose
 
     interp = jax.default_backend() == "cpu"
     p1 = cfg.p1
@@ -638,51 +647,55 @@ def stereo_sgbm_batch(
         else jnp.int32
     )
 
-    # The per-frame stages run as PYTHON-unrolled loops over the static
-    # batch, not lax.map: XLA's fusion pass CHECK-crashes ("Check failed:
-    # fused_root->IsFusible()", hlo_instructions.cc, observed on TPU v5e)
-    # when a Pallas custom call sits inside a lax.map scan body at these
-    # shapes -- an optimization_barrier around the operands does not avoid
-    # it. B is small (4 at the BASELINE multi-stream point) and the
-    # per-frame programs are shape-identical, so the unrolled compile is
-    # one-time and kernel compiles are cached.
     Hp = -(-H // 128) * 128
-    C = jnp.stack([
-        sgm_cost_volume_pallas(
-            lefts[i], rights[i], D, cfg.block_size, cfg.pre_filter_cap,
-            layout="hdw", dtype=vol_dtype, interpret=interp, out_h=Hp,
-        )[0]
-        for i in range(B)
-    ])  # (B, Hp, D, W1) -- rows >= H undefined, never read back
-    minX1 = D
+    # ONE batched cost launch -> lane-stacked (Hp, D, B*W1); rows >= H
+    # undefined, never read back
+    C, minX1, _ = sgm_cost_volume_pallas(
+        lefts, rights, D, cfg.block_size, cfg.pre_filter_cap,
+        layout="hdw", dtype=vol_dtype, interpret=interp, out_h=Hp,
+    )
 
-    Ct = vol_transpose(C.reshape(B * Hp, D, W1), interpret=interp)
+    # x-major view for the horizontal stage: frames stacked along the lane
+    # (H) axis. The 4-D views on both sides of the XLA transpose are free
+    # (they split/merge contiguous minor dims).
+    Ct = jnp.transpose(
+        C.reshape(Hp, D, B, W1), (3, 1, 2, 0)
+    ).reshape(W1, D, B * Hp)
     Sh_t = sgm_horiz_bidir_dh(Ct, p1, p2, interpret=interp)
-    Sh = vol_transpose(Sh_t, interpret=interp).reshape(B, Hp, D, W1)
+    Sh = jnp.transpose(
+        Sh_t.reshape(W1, D, B, Hp), (3, 1, 2, 0)
+    ).reshape(Hp, D, B * W1)
 
-    per_frame = [
-        sgm_vert_bidir_wta_hdw(
-            C[i], Sh[i], p1, p2, cfg.uniqueness_ratio, interpret=interp,
-            true_h=H,
-        )
-        for i in range(B)
-    ]
+    # ONE lane-stacked vertical + WTA launch (seg masks the per-frame
+    # borders of the diagonal carry shifts); outputs (H, B*W1) int32
+    best, minS, dval, uniq = sgm_vert_bidir_wta_hdw(
+        C, Sh, p1, p2, cfg.uniqueness_ratio, interpret=interp,
+        true_h=H, seg=W1,
+    )
 
-    def tail(bestf, minSf, dvalf, uniqf):
-        dvalf = dvalf + minD * DISP_SCALE
-        disp1 = jnp.where(uniqf > 0, INVALID, dvalf).astype(jnp.int16)
-        disp = jnp.full((H, W), INVALID, dtype=jnp.int16)
-        disp = jax.lax.dynamic_update_slice(disp, disp1, (0, minX1))
-        if cfg.disp12_max_diff >= 0:
-            disp = _lr_check_sgbm(
-                disp, bestf, minSf, minX1, W1, minD, D, cfg.disp12_max_diff,
-                use_pallas=True, interpret=interp,
-            )
-        if cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
-            disp = filter_speckles(
-                disp, INVALID, cfg.speckle_window_size,
+    def unstack(a):  # (H, B*W1) -> (B, H, W1)
+        return jnp.transpose(a.reshape(H, B, W1), (1, 0, 2))
+
+    best, minS, dval, uniq = (unstack(a) for a in (best, minS, dval, uniq))
+    dval = dval + minD * DISP_SCALE
+    disp1 = jnp.where(uniq > 0, INVALID, dval).astype(jnp.int16)
+    disp = jnp.full((B, H, W), INVALID, dtype=jnp.int16)
+    disp = jax.lax.dynamic_update_slice(disp, disp1, (0, 0, minX1))
+
+    if cfg.disp12_max_diff >= 0:
+        # the LR shift-reduces are row-local: one launch over row-stacked
+        # (B*H, W) planes is bit-identical to B per-frame launches
+        disp = _lr_check_sgbm(
+            disp.reshape(B * H, W), best.reshape(B * H, W1),
+            minS.reshape(B * H, W1), minX1, W1, minD, D,
+            cfg.disp12_max_diff, use_pallas=True, interpret=interp,
+        ).reshape(B, H, W)
+    if cfg.speckle_window_size > 0 and cfg.speckle_range >= 0:
+        disp = jnp.stack([
+            filter_speckles(
+                disp[i], INVALID, cfg.speckle_window_size,
                 cfg.speckle_range * DISP_SCALE,
             )
-        return disp
-
-    return jnp.stack([tail(*per_frame[i]) for i in range(B)])
+            for i in range(B)
+        ])
+    return disp

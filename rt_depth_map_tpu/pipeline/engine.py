@@ -172,56 +172,202 @@ class Engine:
         self._step = jax.jit(frame_fn)
         self._step_batch = None
         if cfg.batch > 1:
-            # Multi-stream batching: B pairs per device dispatch, as a
-            # `lax.map` (compile once, loop on device) rather than vmap --
-            # the Pallas matcher kernels have no batching rule for
-            # ANY-memory-space operands -- or a B-unrolled graph, whose
-            # compile time scaled linearly with B. One chip executes the B
-            # frame programs serially either way, so throughput matches the
-            # unrolled form at 1/B of its compile cost.
-            # Per-frame stages are PYTHON-unrolled over the static batch,
-            # not lax.map: XLA's fusion pass CHECK-crashes ("Check failed:
-            # fused_root->IsFusible()") on Pallas custom calls inside a
-            # scan body at 720p shapes (see ops/sgbm.py stereo_sgbm_batch).
-            B = cfg.batch
-
-            def _stack_trees(items):
-                return jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *items)
-
-            if self.matcher_config.kind == "sgm":
-                from rt_depth_map_tpu.ops.sgbm import stereo_sgbm_batch
-
-                mcfg_b = self.matcher_config
-
-                def batch_fn(lefts, rights, hsv_low, hsv_high, min_size):
-                    # pre/post stay per-frame; the SGM matcher runs as ONE
-                    # batched launch stacking frames along the lane axis so
-                    # the aggregation recurrences' per-step stall amortizes
-                    # over B frames (ops/sgbm.py stereo_sgbm_batch).
-                    pres = [
-                        frame_fn.pre_fn(lefts[i], rights[i], hsv_low,
-                                        hsv_high, min_size)
-                        for i in range(B)
-                    ]
-                    lrects = jnp.stack([p[0] for p in pres])
-                    rrects = jnp.stack([p[1] for p in pres])
-                    disps = stereo_sgbm_batch(lrects, rrects, mcfg_b)
-                    return _stack_trees([
-                        frame_fn.post_fn(pres[i][0], pres[i][1], pres[i][2],
-                                         pres[i][3], pres[i][4], disps[i])
-                        for i in range(B)
-                    ])
+            # Multi-stream batching (BASELINE.md row 4): B pairs per device
+            # dispatch, with EVERY stage batched -- the rectify/detect pre
+            # stage processes all B frames row-stacked through one remap /
+            # morph graph, the SGM matcher lane-stacks its recurrences so
+            # the per-step dependency stall amortizes over B frames
+            # (ops/sgbm.py stereo_sgbm_batch), and the depth post stage is
+            # vmapped. RTDM_NO_BATCH_PREPOST=1 falls back to the round-3
+            # per-frame-unrolled wiring (bench kill-switch ladder; that
+            # path is Python-unrolled, not lax.map: XLA's fusion pass
+            # CHECK-crashes on Pallas custom calls inside scan bodies).
+            if os.environ.get("RTDM_NO_BATCH_PREPOST", "") in ("", "0"):
+                batch_fn = self._build_batch_frame_fn()
             else:
-                def batch_fn(lefts, rights, hsv_low, hsv_high, min_size):
-                    return _stack_trees([
-                        frame_fn(lefts[i], rights[i], hsv_low, hsv_high,
-                                 min_size)
-                        for i in range(B)
-                    ])
-
+                batch_fn = self._build_unrolled_batch_fn(frame_fn)
             self._step_batch = jax.jit(batch_fn)
         self._frames_done = 0
+
+    def _build_unrolled_batch_fn(self, frame_fn) -> Callable:
+        """Round-3 fallback batch wiring: per-frame pre/post unrolled over
+        the static batch, matcher lane-stacked for SGM."""
+        B = self.cfg.batch
+
+        def _stack_trees(items):
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *items)
+
+        if self.matcher_config.kind == "sgm":
+            from rt_depth_map_tpu.ops.sgbm import stereo_sgbm_batch
+
+            mcfg_b = self.matcher_config
+
+            def batch_fn(lefts, rights, hsv_low, hsv_high, min_size):
+                pres = [
+                    frame_fn.pre_fn(lefts[i], rights[i], hsv_low,
+                                    hsv_high, min_size)
+                    for i in range(B)
+                ]
+                lrects = jnp.stack([p[0] for p in pres])
+                rrects = jnp.stack([p[1] for p in pres])
+                disps = stereo_sgbm_batch(lrects, rrects, mcfg_b)
+                return _stack_trees([
+                    frame_fn.post_fn(pres[i][0], pres[i][1], pres[i][2],
+                                     pres[i][3], pres[i][4], disps[i])
+                    for i in range(B)
+                ])
+        else:
+            def batch_fn(lefts, rights, hsv_low, hsv_high, min_size):
+                return _stack_trees([
+                    frame_fn(lefts[i], rights[i], hsv_low, hsv_high,
+                             min_size)
+                    for i in range(B)
+                ])
+
+        return batch_fn
+
+    def _build_batch_frame_fn(self) -> Callable:
+        """Fully-batched B-frame device program (bit-identical per frame to
+        _build_frame_fn's single-frame program).
+
+        Pre stage: the B frames are ROW-STACKED into one (B*H, W) image and
+        rectified by ONE remap whose plan/grid was built for the stacked
+        source (each output row's source y is offset by its frame's b*H, so
+        frame b only ever samples frame b -- exact); HSV/inRange run on the
+        stacked rows, morphology/detection vmap/loop per frame (their
+        vertical taps must not cross frame borders). Post stage: vmapped
+        reprojection + depth stats. Matcher: lane-stacked batched SGM
+        (one launch per recurrence stage) or per-frame BM."""
+        cfg = self.cfg
+        B = cfg.batch
+        mcfg = self.matcher_config
+        rx, ry, rw, rh = self.roi
+        H, W = self.source.height, self.source.width
+        Q = jnp.asarray(self.Q, jnp.float32)
+        kernel = ellipse_kernel(MORPH_DX, MORPH_DY)
+
+        np_l = self.map_left[ry : ry + rh, rx : rx + rw]
+        np_r = self.map_right[ry : ry + rh, rx : rx + rw]
+        off = (np.arange(B, dtype=np.float32) * H)[:, None, None]
+
+        def stackmap(m):
+            mb = np.broadcast_to(m, (B,) + m.shape).copy()
+            mb[..., 1] += off  # sample frame b's rows of the stacked source
+            return mb.reshape(B * rh, rw, 2)
+
+        np_lb, np_rb = stackmap(np_l), stackmap(np_r)
+        plan_lb = plan_rb = None
+        if jax.default_backend() not in ("cpu",) and os.environ.get(
+            "RTDM_NO_PLANNED_REMAP", ""
+        ) in ("", "0"):
+            plan_lb = plan_remap(np_lb, (B * H, W))
+            plan_rb = plan_remap(np_rb, (B * H, W))
+        grid_lb = jnp.asarray(np_lb)
+        grid_rb = jnp.asarray(np_rb)
+
+        def pre_fn_b(lefts, rights, hsv_low, hsv_high, min_size):
+            lst = lefts.reshape(B * H, W, 3)
+            rst = rights.reshape(B * H, W, 3)
+            lg = rgb_to_gray(lst)
+            rg = rgb_to_gray(rst)
+            lstack = jnp.concatenate([lg[..., None], lst], axis=-1)
+            if plan_lb is not None:
+                lrect4 = remap_bilinear_planned(lstack, plan_lb)
+                rrect = remap_bilinear_planned(rg, plan_rb)
+            else:
+                lrect4 = remap_bilinear(lstack, grid_lb)
+                rrect = remap_bilinear(rg, grid_rb)
+            lrect = lrect4[..., 0]
+            rgbr = lrect4[..., 1:]
+            hsv = rgb_to_hsv(rgbr)
+            mask = in_range(hsv, hsv_low, hsv_high)
+            filt = jax.vmap(lambda m: morph_open_close(m, kernel))(
+                mask.reshape(B, rh, rw)
+            )
+            boxes = jnp.stack([
+                detect_objects(filt[i], min_size, cfg.max_objects)
+                for i in range(B)
+            ])
+            mrois = [matching_region(boxes[i]) for i in range(B)]
+            return (
+                lrect.reshape(B, rh, rw),
+                rrect.reshape(B, rh, rw),
+                rgbr.reshape(B, rh, rw, 3),
+                filt,
+                boxes,
+                mrois,
+            )
+
+        def post_fn_b(lrects, rrects, rgbrs, filts, boxes, disps):
+            filtered = None
+            if cfg.enable_post_filter:
+                from rt_depth_map_tpu.ops.wls import (
+                    right_matcher_config,
+                    wls_filter,
+                )
+
+                rcfg = right_matcher_config(mcfg)
+                if mcfg.kind == "sgm":
+                    from rt_depth_map_tpu.ops.sgbm import stereo_sgbm_batch
+
+                    disps_r = stereo_sgbm_batch(rrects, lrects, rcfg)
+                else:
+                    disps_r = jnp.stack([
+                        stereo_bm(rrects[i], lrects[i], rcfg)
+                        for i in range(B)
+                    ])
+                filtered = jnp.stack([
+                    wls_filter(disps[i], disps_r[i], lrects[i], mcfg)[0]
+                    for i in range(B)
+                ])
+
+            dint = disparity_fixed_to_float(disps)
+            xyz = jax.vmap(
+                lambda d: reproject_to_3d(d, Q, mcfg.min_disparity, True)
+            )(dint)
+            unit = cfg.calibration_unit_mm
+            disp_mean = None
+            if cfg.show_disparity_value:
+                depth_cm, mean_z, count, disp_mean = jax.vmap(
+                    lambda x, f, b, e: calc_depth(x, f, b, unit, extra=e)
+                )(xyz, filts, boxes, dint)
+            else:
+                depth_cm, mean_z, count = jax.vmap(
+                    lambda x, f, b: calc_depth(x, f, b, unit)
+                )(xyz, filts, boxes)
+            out = dict(
+                disparity=disps,
+                boxes=boxes,
+                depth_cm=depth_cm,
+                mean_z=mean_z,
+                count=count,
+                mask=filts,
+                rgb_rect=rgbrs,
+            )
+            if filtered is not None:
+                out["filtered_disparity"] = filtered
+            if disp_mean is not None:
+                out["disparity_mean"] = disp_mean
+            return out
+
+        if mcfg.kind == "sgm":
+            from rt_depth_map_tpu.ops.sgbm import stereo_sgbm_batch
+
+        def batch_fn(lefts, rights, hsv_low, hsv_high, min_size):
+            lrects, rrects, rgbrs, filts, boxes, mrois = pre_fn_b(
+                lefts, rights, hsv_low, hsv_high, min_size
+            )
+            if mcfg.kind == "sgm":
+                disps = stereo_sgbm_batch(lrects, rrects, mcfg)
+            else:
+                disps = jnp.stack([
+                    stereo_bm(lrects[i], rrects[i], mcfg, roi1=mrois[i],
+                              roi2=None)
+                    for i in range(B)
+                ])
+            return post_fn_b(lrects, rrects, rgbrs, filts, boxes, disps)
+
+        return batch_fn
 
     # -- device program ----------------------------------------------------
     def _build_frame_fn(self) -> Callable:
@@ -479,6 +625,7 @@ class Engine:
         on_frame: Optional[Callable[[int, FrameResult], None]] = None,
         print_stats_on_sigint: bool = True,
         pipeline_depth: int = 2,
+        prefetch: bool = True,
     ) -> int:
         """Blocking frame loop; frames=None runs until SIGINT (while(1)
         parity). Returns the number of frames processed.
@@ -491,7 +638,17 @@ class Engine:
         in-flight device programs; results are only pulled to host when a
         consumer exists (`on_frame`), otherwise a small per-frame field is
         fetched every few frames as backpressure so the dispatch queue
-        cannot run unboundedly ahead."""
+        cannot run unboundedly ahead.
+
+        prefetch=True additionally moves grab+decode OFF the dispatch
+        thread: a background producer keeps a small queue of decoded pairs
+        (bounded, 2-deep beyond the dispatch depth) so camera/decoder
+        latency overlaps device execution instead of serializing in front
+        of it (SURVEY.md section 7 hard part 6 -- host ingest at rate;
+        VERDICT round 3 missing item 1). The reference's single-buffered
+        V4L2 capture blocks its whole loop per frame
+        (v4l2-stream-stereo-device.cpp:112-133); a real deployment wants
+        the queue."""
         stop = {"flag": False}
 
         def handler(signum, frame):
@@ -529,6 +686,55 @@ class Engine:
                 with st.measure("d2h"):
                     np.asarray(out["count"])
 
+        producer = None
+        pstop = None
+        q = None
+        perr: list = []
+        if prefetch:
+            import queue as _queue
+            import threading
+
+            # grab/decode run in the producer; their wall time overlaps
+            # device execution and must not count into the frame period
+            st.mark_overlapped("grabOneFrame")
+            st.mark_overlapped("decode")
+            q = _queue.Queue(maxsize=depth + 2)
+            pstop = threading.Event()
+
+            def _produce():
+                while not pstop.is_set():
+                    try:
+                        pair = self._grab_decode()
+                    except Exception as e:  # dead stream: fail the loop
+                        perr.append(e)
+                        return
+                    if pair is None:
+                        continue
+                    while not pstop.is_set():
+                        try:
+                            q.put(pair, timeout=0.1)
+                            break
+                        except _queue.Full:
+                            continue
+
+            producer = threading.Thread(target=_produce, daemon=True,
+                                        name="rtdm-ingest")
+            producer.start()
+
+        def next_pair():
+            if not prefetch:
+                return self._grab_decode()
+            while True:
+                if perr:
+                    raise perr[0]
+                if stop["flag"]:
+                    return None
+                try:
+                    with st.measure("grab (queue wait)"):
+                        return q.get(timeout=0.1)
+                except Exception:
+                    continue
+
         try:
             i = 0
             done0 = self._frames_done
@@ -537,7 +743,7 @@ class Engine:
                 if stop["flag"]:
                     break
                 st.start_iteration()
-                pair = self._grab_decode()
+                pair = next_pair()
                 if pair is not None:
                     with st.measure("dispatch"):
                         pending.append((i, self._dispatch(*pair)))
@@ -553,6 +759,10 @@ class Engine:
                 print(st.report(), file=sys.stderr)
             return i
         finally:
+            if pstop is not None:
+                pstop.set()
+            if producer is not None:
+                producer.join(timeout=2.0)
             if old is not None:
                 signal.signal(signal.SIGINT, old)
 

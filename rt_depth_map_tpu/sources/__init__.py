@@ -24,7 +24,9 @@ def make_source(cfg) -> "StereoSource":
     w = cfg.capture_width or cfg.width
     h = cfg.capture_height or cfg.height
     if cfg.source == "synthetic":
-        return SyntheticStereoSource(w, h, seed=cfg.seed)
+        return SyntheticStereoSource(
+            w, h, seed=cfg.seed, ring=getattr(cfg, "synthetic_ring", 0)
+        )
     if cfg.source == "files":
         if not cfg.source_path:
             raise ValueError("source=files requires source_path")
