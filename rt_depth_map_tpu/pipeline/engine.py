@@ -169,7 +169,16 @@ class Engine:
         self.max_consecutive_decode_failures = 30
         self._consecutive_failures = 0
         frame_fn = self._build_frame_fn()
-        self._step = jax.jit(frame_fn)
+        # Donated frame buffers (the reference's device-owned zero-copy
+        # buffer design, include/filter/filter.h:13-37 + estimator.cpp:
+        # 141-142): each dispatch hands its input buffers back to XLA for
+        # output reuse instead of allocating fresh planes per frame. The
+        # hot loops always feed freshly-uploaded (or freshly-copied) device
+        # arrays, so donation is safe; run_preloaded re-dispatches a
+        # persistent ring and passes device-to-device copies (see there).
+        self._donate = os.environ.get("RTDM_NO_DONATE", "") in ("", "0")
+        donate = (0, 1) if self._donate else ()
+        self._step = jax.jit(frame_fn, donate_argnums=donate)
         self._step_batch = None
         if cfg.batch > 1:
             # Multi-stream batching (BASELINE.md row 4): B pairs per device
@@ -186,7 +195,7 @@ class Engine:
                 batch_fn = self._build_batch_frame_fn()
             else:
                 batch_fn = self._build_unrolled_batch_fn(frame_fn)
-            self._step_batch = jax.jit(batch_fn)
+            self._step_batch = jax.jit(batch_fn, donate_argnums=donate)
         self._frames_done = 0
 
     def _build_unrolled_batch_fn(self, frame_fn) -> Callable:
@@ -809,6 +818,10 @@ class Engine:
         for i in range(frames):
             st.start_iteration()
             l, r = pairs[i % len(pairs)]
+            if self._donate:
+                # the step donates its frame buffers; hand it d2d copies of
+                # the persistent ring (~us on-chip) so the ring survives
+                l, r = jnp.copy(l), jnp.copy(r)
             with st.measure("dispatch"):
                 pending.append(self._step(l, r, hsv_lo, hsv_hi, msize))
             self._frames_done += 1

