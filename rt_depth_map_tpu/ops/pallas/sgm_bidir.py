@@ -492,8 +492,14 @@ def sgm_vert_bidir_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
     p2 = max(p2, p1 + 1)
     io_dtype = C.dtype
     # default block: largest allowed (fori-trip overhead dominates, see
-    # sgm_horiz_bidir_dh); the kernel structure caps KB at 8
-    KB = int(os.environ.get("RTDM_VBIDIR_KB", "8"))  # hardware-tuning knob
+    # sgm_horiz_bidir_dh); the kernel structure caps KB at 8. Lane-stacked
+    # batched launches (seg set, W1 = B * seg) default to KB=2: the
+    # per-trip unroll is KB x 6 recurrence steps over (D, B*seg) -- at
+    # KB>=4 the Mosaic register allocator has twice hung/killed the
+    # compile helper at the b4 flagship shape, while KB=2 compiles in
+    # ~2.5 min and the wider lanes already amortize the trip overhead.
+    default_kb = "2" if (seg is not None and seg != W1) else "8"
+    KB = int(os.environ.get("RTDM_VBIDIR_KB", default_kb))
     while KB > 1 and (
         8 % KB or H % (2 * KB)
         or vbidir_vmem_bytes(H, W1, D, KB,

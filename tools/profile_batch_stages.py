@@ -44,6 +44,15 @@ def main():
     _plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
     if _plat:
         jax.config.update("jax_platforms", _plat)
+    # persistent compilation cache, same policy as bench.py: the batched
+    # flagship modules cost minutes of XLA+Mosaic each; re-profiles reuse
+    _cache = os.environ.get(
+        "RTDM_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/rt_depth_map_tpu/jax"),
+    )
+    if _cache and _cache != "0":
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     size = sys.argv[2] if len(sys.argv) > 2 else "1280x720"
     W, H = (int(v) for v in size.split("x"))
@@ -109,23 +118,85 @@ def main():
 
     Sh0 = jax.block_until_ready(tB(sgm_horiz_bidir_dh(Ct0, p1, p2)))
 
-    def vert_step(C):
+    # NOTE: big planes must be ARGS of the chained step, never closure
+    # captures -- a jit-captured 900MB constant is serialized into the
+    # compile payload and kills the tunnel compile helper (broken pipe).
+    def vert_step(state):
+        C, Sh = state
         best, minS, dval, uniq = sgm_vert_bidir_wta_hdw(
-            C, Sh0, p1, p2, 10, true_h=H, seg=W1)
-        return C + (jnp.sum(best) + jnp.sum(dval) & 1).astype(C.dtype)
+            C, Sh, p1, p2, 10, true_h=H, seg=W1)
+        return (C + ((jnp.sum(best) + jnp.sum(dval)) & 1).astype(C.dtype),
+                Sh)
 
-    chain_time(f"vert+wta batch{B} (W1-lane stacked)", vert_step, C0, iters)
+    import os as _os
+
+    def vert_step_nomask(state):
+        # PERF CONTROL ONLY (wrong across frame borders): the stacked
+        # launch without the seg border masks -- isolates the mask cost
+        C, Sh = state
+        best, minS, dval, uniq = sgm_vert_bidir_wta_hdw(
+            C, Sh, p1, p2, 10, true_h=H)
+        return (C + ((jnp.sum(best) + jnp.sum(dval)) & 1).astype(C.dtype),
+                Sh)
+
+    for kb in (None, "1", "2"):
+        if kb is None:
+            _os.environ.pop("RTDM_VBIDIR_KB", None)
+            tag = "auto"
+        else:
+            _os.environ["RTDM_VBIDIR_KB"] = kb
+            tag = f"KB={kb}"
+        chain_time(f"vert+wta batch{B} stacked {tag}", vert_step, (C0, Sh0),
+                   iters)
+    chain_time(f"vert+wta batch{B} NOMASK (perf ctl)", vert_step_nomask,
+               (C0, Sh0), iters)
+    _os.environ.pop("RTDM_VBIDIR_KB", None)
 
     # single-frame vert for comparison
     C1 = jax.block_until_ready(C0[:, :, :W1])
     Sh1 = jax.block_until_ready(Sh0[:, :, :W1])
 
-    def vert1(C):
+    def vert1(state):
+        C, Sh = state
         best, minS, dval, uniq = sgm_vert_bidir_wta_hdw(
-            C, Sh1, p1, p2, 10, true_h=H)
-        return C + (jnp.sum(best) + jnp.sum(dval) & 1).astype(C.dtype)
+            C, Sh, p1, p2, 10, true_h=H)
+        return (C + ((jnp.sum(best) + jnp.sum(dval)) & 1).astype(C.dtype),
+                Sh)
 
-    chain_time("vert+wta single frame", vert1, C1, iters)
+    chain_time("vert+wta single frame", vert1, (C1, Sh1), iters)
+
+    # batched LR + per-frame speckle (the remaining post stages)
+    from rt_depth_map_tpu.ops.sgbm import _lr_check_sgbm
+    from rt_depth_map_tpu.ops.speckle import filter_speckles
+
+    best0, minS0, dval0, uniq0 = sgm_vert_bidir_wta_hdw(
+        C0, Sh0, p1, p2, 10, true_h=H, seg=W1)
+    dispb = jnp.full((B, H, W), -16, jnp.int16)
+    disp1 = (dval0.reshape(H, B, W1).transpose(1, 0, 2)).astype(jnp.int16)
+    dispb = jax.lax.dynamic_update_slice(dispb, disp1, (0, 0, D))
+    bestb = best0.reshape(H, B, W1).transpose(1, 0, 2)
+    minSb = minS0.reshape(H, B, W1).transpose(1, 0, 2)
+    dispb, bestb, minSb = jax.block_until_ready((dispb, bestb, minSb))
+
+    def lr_step(state):
+        d, be, mi = state
+        out = _lr_check_sgbm(
+            d.reshape(B * H, W), be.reshape(B * H, W1),
+            mi.reshape(B * H, W1), D, W1, 0, D, 1, use_pallas=True,
+        ).reshape(B, H, W)
+        return (d ^ (jnp.sum(out.astype(jnp.int32)) & 1).astype(jnp.int16),
+                be, mi)
+
+    chain_time(f"LR batch{B} (row-stacked)", lr_step, (dispb, bestb, minSb),
+               iters)
+
+    def speckle_step(d):
+        outs = jnp.stack([
+            filter_speckles(d[i], -16, 100, 32 * 16) for i in range(B)
+        ])
+        return d ^ (jnp.sum(outs.astype(jnp.int32)) & 1).astype(jnp.int16)
+
+    chain_time(f"speckle x{B} (per-frame)", speckle_step, dispb, iters)
 
 
 if __name__ == "__main__":
