@@ -79,7 +79,6 @@ def run_cell(W, H, D, matcher_kind, batch, frames):
         ]
     dev = [(jnp.asarray(l), jnp.asarray(r)) for l, r in rendered]
 
-    step = engine._step_batch if batch > 1 else engine._step
     hsv_lo = jnp.asarray(engine.hsv_low)
     hsv_hi = jnp.asarray(engine.hsv_high)
     msize = jnp.int32(engine.min_object_size)
@@ -89,17 +88,23 @@ def run_cell(W, H, D, matcher_kind, batch, frames):
         return acc + out["count"].sum() + out["disparity"].astype(jnp.int32).sum()
 
     def dispatch(pair):
-        # the engine's step donates its frame buffers (device-owned-buffer
-        # parity); feed d2d copies so the preloaded ring survives
+        """One batch dispatch -> list of device output trees. The engine's
+        step donates its frame buffers (device-owned-buffer parity), so
+        persistent ring inputs are passed as d2d copies/slices."""
         l, r = pair
+        if batch > 1 and engine.batch_mode == "pipelined":
+            # production multi-stream mode: B async single-frame dispatches
+            return engine.dispatch_batch(l, r)
         if engine._donate:
             l, r = jnp.copy(l), jnp.copy(r)
-        return step(l, r, hsv_lo, hsv_hi, msize)
+        step = engine._step_batch if batch > 1 else engine._step
+        return [step(l, r, hsv_lo, hsv_hi, msize)]
 
     # compile + warm
     t0 = time.perf_counter()
-    out = dispatch(dev[0])
-    acc = fold(jnp.int32(0), out)
+    acc = jnp.int32(0)
+    for out in dispatch(dev[0]):
+        acc = fold(acc, out)
     _ = int(np.asarray(acc))
     compile_s = time.perf_counter() - t0
 
@@ -107,8 +112,8 @@ def run_cell(W, H, D, matcher_kind, batch, frames):
     t0 = time.perf_counter()
     acc = jnp.int32(0)
     for i in range(n_disp):
-        out = dispatch(dev[i % n_inputs])
-        acc = fold(acc, out)
+        for out in dispatch(dev[i % n_inputs]):
+            acc = fold(acc, out)
     _ = int(np.asarray(acc))  # single real completion barrier
     dt = time.perf_counter() - t0
     fps = (n_disp * batch) / dt
@@ -124,6 +129,7 @@ def run_cell(W, H, D, matcher_kind, batch, frames):
             "compile_s": round(compile_s, 1),
             "frames": n_disp * batch,
             "batch": batch,
+            **({"batch_mode": engine.batch_mode} if batch > 1 else {}),
         },
     }
 

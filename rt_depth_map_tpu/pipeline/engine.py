@@ -187,24 +187,57 @@ class Engine:
                 "ignore", message="Some donated buffers were not usable"
             )
         self._step = jax.jit(frame_fn, donate_argnums=donate)
-        self._step_batch = None
-        if cfg.batch > 1:
-            # Multi-stream batching (BASELINE.md row 4): B pairs per device
-            # dispatch, with EVERY stage batched -- the rectify/detect pre
-            # stage processes all B frames row-stacked through one remap /
-            # morph graph, the SGM matcher lane-stacks its recurrences so
-            # the per-step dependency stall amortizes over B frames
-            # (ops/sgbm.py stereo_sgbm_batch), and the depth post stage is
-            # vmapped. RTDM_NO_BATCH_PREPOST=1 falls back to the round-3
-            # per-frame-unrolled wiring (bench kill-switch ladder; that
-            # path is Python-unrolled, not lax.map: XLA's fusion pass
-            # CHECK-crashes on Pallas custom calls inside scan bodies).
-            if os.environ.get("RTDM_NO_BATCH_PREPOST", "") in ("", "0"):
+        self.__step_batch = None
+        self._frame_fn = frame_fn
+        # Multi-stream batching (BASELINE.md row 4) execution mode:
+        #   * "pipelined" (default): the B streams stay INDEPENDENT -- B
+        #     async dispatches of the single-frame program per step_batch.
+        #     The chip executes them back-to-back with zero host gaps
+        #     (JAX async dispatch), so multi-stream throughput == the
+        #     single-stream rate and per-frame latency stays the b1
+        #     latency; it also reuses the b1 executable (no extra
+        #     compile). This is the production mode: nothing about 4
+        #     independent camera rigs requires welding their tensors
+        #     together.
+        #   * "fused": ONE jitted B-frame program -- batched pre/post +
+        #     the lane-stacked batched matcher (stereo_sgbm_batch). The
+        #     cross-frame launch amortization it buys is real but (today)
+        #     smaller than its own overheads at B=4/720p; kept as the
+        #     research path and for sharded-step parity.
+        #   * "unrolled": the round-3 fused wiring (kill-switch tier).
+        self.batch_mode = os.environ.get("RTDM_BATCH_MODE", "pipelined")
+        self._frames_done = 0
+
+    @property
+    def _step_batch(self):
+        """Lazily-built fused B-frame jit (compiles on first call)."""
+        if self.cfg.batch <= 1:
+            return None
+        if self.__step_batch is None:
+            if (self.batch_mode != "unrolled"
+                    and os.environ.get("RTDM_NO_BATCH_PREPOST", "")
+                    in ("", "0")):
                 batch_fn = self._build_batch_frame_fn()
             else:
-                batch_fn = self._build_unrolled_batch_fn(frame_fn)
-            self._step_batch = jax.jit(batch_fn, donate_argnums=donate)
-        self._frames_done = 0
+                batch_fn = self._build_unrolled_batch_fn(self._frame_fn)
+            donate = (0, 1) if self._donate else ()
+            self.__step_batch = jax.jit(batch_fn, donate_argnums=donate)
+        return self.__step_batch
+
+    def dispatch_batch(self, lefts, rights):
+        """Async-dispatch B independent single-frame programs (pipelined
+        multi-stream mode); returns the B device output trees WITHOUT
+        waiting. lefts/rights: (B, H, W, 3) arrays (device or host)."""
+        hsv_lo = jnp.asarray(self.hsv_low)
+        hsv_hi = jnp.asarray(self.hsv_high)
+        msize = jnp.int32(self.min_object_size)
+        outs = []
+        for b in range(self.cfg.batch):
+            outs.append(self._step(
+                jnp.asarray(lefts[b]), jnp.asarray(rights[b]),
+                hsv_lo, hsv_hi, msize,
+            ))
+        return outs
 
     def _build_unrolled_batch_fn(self, frame_fn) -> Callable:
         """Round-3 fallback batch wiring: per-frame pre/post unrolled over
@@ -542,7 +575,12 @@ class Engine:
     def process_batch(self, lefts: np.ndarray, rights: np.ndarray):
         """Run the device program on a (B, H, W, 3) batch of decoded pairs
         (multi-stream batching, BASELINE.md); returns a list of FrameResult."""
-        assert self._step_batch is not None, "EngineConfig.batch must be > 1"
+        assert self.cfg.batch > 1, "EngineConfig.batch must be > 1"
+        B = lefts.shape[0]
+        if self.batch_mode == "pipelined":
+            outs = self.dispatch_batch(lefts, rights)
+            outs = jax.tree_util.tree_map(np.asarray, outs)
+            return [FrameResult(**o) for o in outs]
         out = self._step_batch(
             jnp.asarray(lefts),
             jnp.asarray(rights),
@@ -551,7 +589,6 @@ class Engine:
             jnp.int32(self.min_object_size),
         )
         out = jax.tree_util.tree_map(np.asarray, out)
-        B = lefts.shape[0]
         return [
             FrameResult(**{k: v[i] for k, v in out.items()}) for i in range(B)
         ]

@@ -29,6 +29,13 @@ def test_step_batch_matches_step(kind):
         np.asarray(eng.hsv_low), np.asarray(eng.hsv_high),
         np.int32(eng.min_object_size),
     )
+    # pipelined multi-stream mode (the production default): B independent
+    # single-frame dispatches -- must agree with both the fused batch
+    # program and the per-frame reference
+    assert eng.batch_mode == "pipelined"
+    piped = eng.process_batch(
+        np.stack([f[0] for f in frames]), np.stack([f[1] for f in frames])
+    )
     for b in range(B):
         ref = ref_eng._step(
             frames[b][0], frames[b][1],
@@ -39,4 +46,8 @@ def test_step_batch_matches_step(kind):
             np.testing.assert_array_equal(
                 np.asarray(out[key][b]), np.asarray(ref[key]),
                 err_msg=f"{kind} frame {b} key {key}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(getattr(piped[b], key)), np.asarray(ref[key]),
+                err_msg=f"{kind} pipelined frame {b} key {key}",
             )
