@@ -75,11 +75,14 @@ class MatcherConfig:
     # implementation selection: "auto" benchmarks-driven, "xla" pure-JAX,
     # "pallas" hand kernel.
     backend: str = "auto"
-    # width-tiled multi-chip SGM mode (parallel/): "margin" = overlap-margin
-    # approximation (fast, tiles never talk during aggregation, ~0.1%
-    # divergence), "exact" = wavefront boundary-state exchange
-    # (parallel/exact_sgbm.py, bit-exact vs single-device at any tile width)
-    tile_mode: str = "margin"
+    # width-tiled multi-chip SGM mode (parallel/): "exact" = wavefront
+    # boundary-state exchange (parallel/exact_sgbm.py, bit-exact vs
+    # single-device at any tile width; zero compute inflation, scaling
+    # ceiling 82% at n=8 vs margin's 56% at n=4 -- docs/SCALING.md), the
+    # production default; "margin" = overlap-margin approximation (tiles
+    # never talk during aggregation, ~0.1% divergence, but the static
+    # margin recompute bounds the scaling ceiling)
+    tile_mode: str = "exact"
 
     def replace(self, **kw) -> "MatcherConfig":
         return dataclasses.replace(self, **kw)

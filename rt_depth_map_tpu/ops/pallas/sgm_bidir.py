@@ -46,7 +46,7 @@ from rt_depth_map_tpu.ops.pallas.sgm_hdw import (
 def _horiz_bidir_kernel(Ct_hbm, out_hbm, cF, cB, crF, crB, obF, obB,
                         inF_sems, inB_sems, outF_sems, outB_sems,
                         rdF_sems, rdB_sems, *, W1, H, D, p1, p2,
-                        io_dtype, KB):
+                        io_dtype, KB, carry_dtype=jnp.int32):
     """Both horizontal directions over the x-major (W1, D, H) volume in one
     launch. out_hbm ends as the 2-direction sum Sh_t. Forward visits block
     t ascending, backward block nb-1-t descending; KB columns per DMA."""
@@ -85,8 +85,8 @@ def _horiz_bidir_kernel(Ct_hbm, out_hbm, cF, cB, crF, crB, obF, obB,
         return pltpu.make_async_copy(out_hbm.at[pl.ds(xB(b), KB)],
                                      obB.at[slot], rdB_sems.at[slot])
 
-    cF[...] = jnp.zeros((D, H), jnp.int32)
-    cB[...] = jnp.zeros((D, H), jnp.int32)
+    cF[...] = jnp.zeros((D, H), carry_dtype)
+    cB[...] = jnp.zeros((D, H), carry_dtype)
     inF(0, 0).start()
     inB(0, 0).start()
 
@@ -96,9 +96,9 @@ def _horiz_bidir_kernel(Ct_hbm, out_hbm, cF, cB, crF, crB, obF, obB,
         (already DMA'd into the out buffer) before the store."""
         for k in range(KB):
             kb = KB - 1 - k  # backward processes its block right-to-left
-            LF = _sgm_step_hdw(crF[slot, k].astype(jnp.int32), cF[...],
+            LF = _sgm_step_hdw(crF[slot, k].astype(carry_dtype), cF[...],
                                p1, p2)
-            LB = _sgm_step_hdw(crB[slot, kb].astype(jnp.int32), cB[...],
+            LB = _sgm_step_hdw(crB[slot, kb].astype(carry_dtype), cB[...],
                                p1, p2)
             cF[...] = LF
             cB[...] = LB
@@ -106,9 +106,11 @@ def _horiz_bidir_kernel(Ct_hbm, out_hbm, cF, cB, crF, crB, obF, obB,
                 obF[slot, k] = LF.astype(io_dtype)
                 obB[slot, kb] = LB.astype(io_dtype)
             else:
-                obF[slot, k] = (LF + obF[slot, k].astype(jnp.int32)
+                # combined 2-direction sum <= 2 * C_max: exact in int16
+                # whenever the int16 io gate held (5 * C_max <= 32767)
+                obF[slot, k] = (LF + obF[slot, k].astype(carry_dtype)
                                 ).astype(io_dtype)
-                obB[slot, kb] = (LB + obB[slot, kb].astype(jnp.int32)
+                obB[slot, kb] = (LB + obB[slot, kb].astype(carry_dtype)
                                  ).astype(io_dtype)
 
     def body1(t, _):
@@ -177,6 +179,20 @@ def _horiz_bidir_kernel(Ct_hbm, out_hbm, cF, cB, crF, crB, obF, obB,
             outB(t % 2, t).wait()
 
 
+def _carry_dtype(io_dtype, p1, p2):
+    """int16 recurrence carries when provably exact (2x VPU element rate):
+    io int16 already certifies 5 * C_max <= 32767 (ops/sgbm.py vol_dtype
+    gate), and p1 + p2 <= 16384 keeps the border fill MAX_COST - p1 - p2
+    above every real candidate. RTDM_INT16_CARRY=0 forces int32."""
+    import os
+
+    if os.environ.get("RTDM_INT16_CARRY", "1") in ("", "0"):
+        return jnp.int32
+    if jnp.dtype(io_dtype).itemsize == 2 and p1 + p2 <= 16384:
+        return jnp.int16
+    return jnp.int32
+
+
 def sgm_horiz_bidir_dh(Ct, p1, p2, interpret=False):
     """Two-direction horizontal SGM sum over the x-major volume Ct
     (W1, D, H) in one fused launch: bit-identical to
@@ -217,9 +233,10 @@ def sgm_horiz_bidir_dh(Ct, p1, p2, interpret=False):
         KB //= 2
     if W1 % (2 * KB):
         raise ValueError(f"W1={W1} must be a multiple of {2 * KB}")
+    cdt = _carry_dtype(io_dtype, p1, p2)
     kernel = functools.partial(
         _horiz_bidir_kernel, W1=W1, H=H, D=D, p1=p1, p2=p2,
-        io_dtype=io_dtype, KB=KB,
+        io_dtype=io_dtype, KB=KB, carry_dtype=cdt,
     )
     buf = lambda: pltpu.VMEM((2, KB, D, H), io_dtype)  # noqa: E731
     return pl.pallas_call(
@@ -228,8 +245,8 @@ def sgm_horiz_bidir_dh(Ct, p1, p2, interpret=False):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((D, H), jnp.int32),
-            pltpu.VMEM((D, H), jnp.int32),
+            pltpu.VMEM((D, H), cdt),
+            pltpu.VMEM((D, H), cdt),
             buf(), buf(), buf(), buf(),
         ] + [pltpu.SemaphoreType.DMA((2,)) for _ in range(6)],
         compiler_params=pltpu.CompilerParams(
@@ -247,7 +264,7 @@ def _vert_bidir_wta_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm,
                            inD_sems, inU_sems, shD_sems, shU_sems,
                            rwD_sems, rwU_sems, obD_sems, obU_sems,
                            *, H, W1, D, p1, p2, uniqueness_ratio,
-                           io_dtype, KB, seg=None):
+                           io_dtype, KB, seg=None, carry_dtype=jnp.int32):
     """Down3 + up3 + WTA over (H, D, W1) in one launch. First half: each
     sweep writes its raw 3-direction sum to raw_hbm. Second half: each
     sweep reads the other's raw block, adds its own 3 directions and the
@@ -325,7 +342,7 @@ def _vert_bidir_wta_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm,
         e_lo = e_hi = None
 
     for c in (cD0, cD1, cD2, cU0, cU1, cU2):
-        c[...] = jnp.zeros((D, W1), jnp.int32)
+        c[...] = jnp.zeros((D, W1), carry_dtype)
     inD(0, 0).start()
     inU(0, 0).start()
 
@@ -347,8 +364,8 @@ def _vert_bidir_wta_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm,
 
         for k in range(KB):
             ku = KB - 1 - k  # up sweep walks its block bottom-to-top
-            CD = crD[slot, k].astype(jnp.int32)
-            CU = crU[slot, ku].astype(jnp.int32)
+            CD = crD[slot, k].astype(carry_dtype)
+            CU = crU[slot, ku].astype(carry_dtype)
             D0, D1, D2 = _three_dirs(CD, cD0[...], cD1[...], cD2[...],
                                      p1, p2, e_lo, e_hi)
             U0, U1, U2 = _three_dirs(CU, cU0[...], cU1[...], cU2[...],
@@ -405,17 +422,21 @@ def _vert_bidir_wta_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm,
 
         for k in range(KB):
             ku = KB - 1 - k
-            CD = crD[slot, k].astype(jnp.int32)
-            CU = crU[slot, ku].astype(jnp.int32)
+            CD = crD[slot, k].astype(carry_dtype)
+            CU = crU[slot, ku].astype(carry_dtype)
             D0, D1, D2 = _three_dirs(CD, cD0[...], cD1[...], cD2[...],
                                      p1, p2, e_lo, e_hi)
             U0, U1, U2 = _three_dirs(CU, cU0[...], cU1[...], cU2[...],
                                      p1, p2, e_lo, e_hi)
             cD0[...], cD1[...], cD2[...] = D0, D1, D2
             cU0[...], cU1[...], cU2[...] = U0, U1, U2
-            SD = (D0 + D1 + D2 + rwD[slot, k].astype(jnp.int32)
+            # the 8-direction total can exceed int16 (8 * C_max): sum in
+            # int32 regardless of the carry dtype
+            SD = (D0.astype(jnp.int32) + D1.astype(jnp.int32)
+                  + D2.astype(jnp.int32) + rwD[slot, k].astype(jnp.int32)
                   + shD[slot, k].astype(jnp.int32))
-            SU = (U0 + U1 + U2 + rwU[slot, ku].astype(jnp.int32)
+            SU = (U0.astype(jnp.int32) + U1.astype(jnp.int32)
+                  + U2.astype(jnp.int32) + rwU[slot, ku].astype(jnp.int32)
                   + shU[slot, ku].astype(jnp.int32))
             bD, mD, dD, qD = _wta_row_hdw(SD, D, uniqueness_ratio)
             bU, mU, dU, qU = _wta_row_hdw(SU, D, uniqueness_ratio)
@@ -508,14 +529,15 @@ def sgm_vert_bidir_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
         KB //= 2
     if 8 % KB or H % (2 * KB):
         raise ValueError(f"KB={KB} must divide 8 and 2*KB must divide H={H}")
+    cdt = _carry_dtype(io_dtype, p1, p2)
     kernel = functools.partial(
         _vert_bidir_wta_kernel, H=H, W1=W1, D=D, p1=p1, p2=p2,
         uniqueness_ratio=uniqueness_ratio, io_dtype=io_dtype, KB=KB,
-        seg=seg,
+        seg=seg, carry_dtype=cdt,
     )
     out = jax.ShapeDtypeStruct((H, W1), jnp.int32)
     buf = lambda dt: pltpu.VMEM((2, KB, D, W1), dt)  # noqa: E731
-    carry = lambda: pltpu.VMEM((D, W1), jnp.int32)  # noqa: E731
+    carry = lambda: pltpu.VMEM((D, W1), cdt)  # noqa: E731
     outs = pl.pallas_call(
         kernel,
         out_shape=(out,) * 4 + (jax.ShapeDtypeStruct((H, D, W1), io_dtype),),

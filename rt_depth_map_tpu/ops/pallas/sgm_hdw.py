@@ -51,17 +51,30 @@ def _roll_shift(a, d, fill, axis):
     pos = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
     rolled = pltpu.roll(a, d % N, axis=axis)
     mask = pos < d if d > 0 else pos >= N + d
-    return jnp.where(mask, fill, rolled)
+    return jnp.where(mask, jnp.asarray(fill, a.dtype), rolled)
 
 
 def _sgm_step_hdw(C_slab, Lp, p1, p2):
-    """(D, W1) recurrence step; D on sublanes."""
-    minLp = jnp.min(Lp, axis=0, keepdims=True)
-    lm = _roll_shift(Lp, 1, MAX_COST, 0)
-    lp_ = _roll_shift(Lp, -1, MAX_COST, 0)
+    """(D, W1) recurrence step; D on sublanes. Dtype-generic: follows
+    Lp.dtype (int32 default; int16 carries when the wrapper proves the
+    bounds -- L_r <= C_max and every intermediate <= C_max + p1 + p2,
+    so a border fill of MAX_COST - p1 - p2 keeps all arithmetic exact
+    and overflow-free; the fill value never wins a min either way, so
+    outputs are bit-identical across dtypes)."""
+    fill = MAX_COST if Lp.dtype == jnp.int32 else MAX_COST - p1 - p2
+    p1 = jnp.asarray(p1, Lp.dtype)
+    p2 = jnp.asarray(p2, Lp.dtype)
+    if Lp.dtype == jnp.int16:
+        # Mosaic has no int16 reductions; reduce through int32
+        minLp = jnp.min(Lp.astype(jnp.int32), axis=0,
+                        keepdims=True).astype(jnp.int16)
+    else:
+        minLp = jnp.min(Lp, axis=0, keepdims=True)
+    lm = _roll_shift(Lp, 1, fill, 0)
+    lp_ = _roll_shift(Lp, -1, fill, 0)
     delta = minLp + p2
     m = jnp.minimum(jnp.minimum(Lp, lm + p1), jnp.minimum(lp_ + p1, delta))
-    return C_slab + m - delta
+    return C_slab.astype(Lp.dtype) + m - delta
 
 
 def _shift_lanes(L, dx, edge=None):
