@@ -183,10 +183,14 @@ def _carry_dtype(io_dtype, p1, p2):
     """int16 recurrence carries when provably exact (2x VPU element rate):
     io int16 already certifies 5 * C_max <= 32767 (ops/sgbm.py vol_dtype
     gate), and p1 + p2 <= 16384 keeps the border fill MAX_COST - p1 - p2
-    above every real candidate. RTDM_INT16_CARRY=0 forces int32."""
+    above every real candidate. OFF by default (RTDM_INT16_CARRY=1 arms
+    it): the d +/- 1 shifts must round-trip through int32 (Mosaic rotate
+    is 32-bit only), and whether the remaining int16 element rate wins on
+    real silicon is an open measurement (tools/profile_batch_stages.py
+    sweeps both)."""
     import os
 
-    if os.environ.get("RTDM_INT16_CARRY", "1") in ("", "0"):
+    if os.environ.get("RTDM_INT16_CARRY", "0") in ("", "0"):
         return jnp.int32
     if jnp.dtype(io_dtype).itemsize == 2 and p1 + p2 <= 16384:
         return jnp.int16

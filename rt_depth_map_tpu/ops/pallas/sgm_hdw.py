@@ -49,7 +49,12 @@ def _roll_shift(a, d, fill, axis):
     ~400us/full-plane at 720p; rolls are native."""
     N = a.shape[axis]
     pos = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
-    rolled = pltpu.roll(a, d % N, axis=axis)
+    if a.dtype == jnp.int16:
+        # Mosaic rotate only handles 32-bit data; roll through int32
+        rolled = pltpu.roll(a.astype(jnp.int32), d % N,
+                            axis=axis).astype(jnp.int16)
+    else:
+        rolled = pltpu.roll(a, d % N, axis=axis)
     mask = pos < d if d > 0 else pos >= N + d
     return jnp.where(mask, jnp.asarray(fill, a.dtype), rolled)
 

@@ -54,10 +54,13 @@ def test_horiz_bidir_int16_matches_int32(toggle):
     np.testing.assert_array_equal(got, ref)
 
 
-def test_int32_io_keeps_int32_carries(toggle):
-    """int32 volumes (e.g. big block sizes) must not take the int16 path."""
+def test_carry_dtype_gate(monkeypatch):
+    """int16 carries only when ARMED and provably exact."""
     from rt_depth_map_tpu.ops.pallas.sgm_bidir import _carry_dtype
 
+    monkeypatch.setenv("RTDM_INT16_CARRY", "1")
     assert _carry_dtype(jnp.int32, 600, 2400) == jnp.int32
     assert _carry_dtype(jnp.int16, 600, 2400) == jnp.int16
     assert _carry_dtype(jnp.int16, 9000, 9000) == jnp.int32  # p1+p2 too big
+    monkeypatch.setenv("RTDM_INT16_CARRY", "0")  # default-off state
+    assert _carry_dtype(jnp.int16, 600, 2400) == jnp.int32
