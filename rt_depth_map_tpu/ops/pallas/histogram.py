@@ -81,6 +81,70 @@ def _kernel(rho_hbm, gam_hbm, A_ref, rbuf, gbuf, sems, *,
     jax.lax.fori_loop(0, NB, body, 0)
 
 
+def _banded2d_kernel(rho_hbm, gam_hbm, A_ref, apad, rbuf, gbuf, sems, *,
+                     NB, H, W, Sr, Sc, dot_dtype):
+    """Row- AND column-banded histogram: each 8-row block is processed as
+    W/128 column tiles whose one-hot column factor only spans the
+    [x0 - Sc, x0 + 128 + Sc) window -- cutting the MXU work by
+    ~W / (2*Sc + 128) vs the row-banded kernel. Exactness for the
+    size <= max_size decision follows the same localization argument as
+    the row band (see label_histogram_banded), applied to columns: a
+    pixel at graph distance k from its root lies within k columns of it,
+    so either every counted pixel's root is in-window (count == size) or
+    the first max_size + 1 path pixels from the root all count
+    (count > max_size)."""
+    Br = Sr + 8
+    Bc = 2 * Sc + 128
+    Hp = NB * 8
+    NT = W // 128
+
+    def in_dma(slot, b):
+        return [
+            pltpu.make_async_copy(rho_hbm.at[b], rbuf.at[slot],
+                                  sems.at[slot, 0]),
+            pltpu.make_async_copy(gam_hbm.at[b], gbuf.at[slot],
+                                  sems.at[slot, 1]),
+        ]
+
+    apad[...] = jnp.zeros((Hp + Sr, W + 2 * Sc), jnp.int32)
+    for d in in_dma(0, 0):
+        d.start()
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (Br, 8 * 128), 0)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (Bc, 8 * 128), 0)
+
+    def body(b, _):
+        slot = b % 2
+
+        @pl.when(b + 1 < NB)
+        def _():
+            for d in in_dma(1 - slot, b + 1):
+                d.start()
+
+        for d in in_dma(slot, b):
+            d.wait()
+
+        y0 = pl.multiple_of(b * 8, 8)
+        # blocks arrive TILE-MAJOR from the wrapper: rbuf[slot, t] is the
+        # (8, 128) pixel tile pre-flattened to (1, 1024) lanes -- direct
+        # slices, no in-kernel relayout
+        for t in range(NT):
+            x0 = 128 * t
+            rho_loc = rbuf[slot, t] - y0 + Sr   # (1, 1024)
+            gam_loc = gbuf[slot, t] - x0 + Sc
+            UT = (riota == rho_loc).astype(dot_dtype)   # (Br, 1024)
+            VT = (ciota == gam_loc).astype(dot_dtype)   # (Bc, 1024)
+            patch = jax.lax.dot_general(
+                UT, VT, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            apad[pl.ds(y0, Br), pl.ds(pl.multiple_of(x0, 128), Bc)] += patch
+        return 0
+
+    jax.lax.fori_loop(0, NB, body, 0)
+    A_ref[...] = apad[Sr:Sr + H, Sc:Sc + W]
+
+
 def _banded_kernel(rho_hbm, gam_hbm, A_ref, apad, rbuf, gbuf, sems, *,
                    NB, H, W, Sr, dot_dtype):
     # apad is sized (NB * 8 + Sr, W): the last block's accumulate spans rows
@@ -157,23 +221,68 @@ def label_histogram_banded(
 
     labels: (H, W) int32 min-linear-index labels (ops/cc.py contract).
     Returns (H, W) int32 windowed counts, addressed at the root position.
+
+    When max_size <= 128 (the cv2 default speckle window is 100) the
+    kernel is ALSO column-banded (_banded2d_kernel): the column one-hot
+    spans only a +/-Sc window around each 128-lane pixel tile, cutting the
+    MXU work by ~W / (2*Sc + 128) (3.3x at 720p) with the same
+    exact-decision localization argument applied to columns.
     """
     H, W = labels.shape
     if W % 128:
         raise ValueError(f"W={W} must be a lane multiple")
     Sr = max(8, -(-int(max_size) // 8) * 8)
     Hp = -(-H // 8) * 8
+    NB = Hp // 8
     # inactive/pad pixels get a large-negative row so the per-block local
     # row bin (rho - y0 + Sr) can never reach a valid one-hot row
     rho = jnp.where(active, labels // W, -(2**20))
-    gam = jnp.where(active, labels - (labels // W) * W, -1)
+    gam = jnp.where(active, labels - (labels // W) * W, -(2**20))
+
+    import os
+
+    use_2d = int(max_size) <= 128 and os.environ.get(
+        "RTDM_NO_HIST2D", "") in ("", "0")
+    if use_2d:
+        Sc = 128  # >= max_size, lane-aligned apad slices
+        NT = W // 128
+
+        def blk(x, fill):
+            x = jnp.pad(x.reshape(-1), (0, Hp * W - H * W),
+                        constant_values=fill)
+            # tile-major: [b, t] = the b-th 8-row block's t-th (8, 128)
+            # column tile flattened to 1024 lanes (kernel slices it
+            # directly -- no in-kernel relayout)
+            x = x.reshape(NB, 8, NT, 128)
+            return jnp.transpose(x, (0, 2, 1, 3)).reshape(NB, NT, 1, 1024)
+
+        kernel = functools.partial(
+            _banded2d_kernel, NB=NB, H=H, W=W, Sr=Sr, Sc=Sc,
+            dot_dtype=dot_dtype,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((Hp + Sr, W + 2 * Sc), jnp.int32),
+                pltpu.VMEM((2, NT, 1, 1024), jnp.int32),
+                pltpu.VMEM((2, NT, 1, 1024), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=64 * 2**20,
+            ),
+            interpret=interpret,
+        )(blk(rho, -(2**20)), blk(gam, -(2**20)))
 
     def blk(x, fill):
         x = jnp.pad(x.reshape(-1), (0, Hp * W - H * W),
                     constant_values=fill)
         return x.reshape(Hp // 8, 1, 8 * W)
 
-    NB = Hp // 8
     kernel = functools.partial(
         _banded_kernel, NB=NB, H=H, W=W, Sr=Sr, dot_dtype=dot_dtype,
     )

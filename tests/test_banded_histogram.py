@@ -150,3 +150,59 @@ def test_filter_speckles_pallas_path_bitexact():
     got = np.asarray(jnp.where(small, jnp.int16(-16), jnp.asarray(disp)))
     np.testing.assert_array_equal(got, ref)
     assert speckle_mod is not None
+
+
+def _mask_with_horizontal_snakes(H, W, seed):
+    """Wide 1-px-tall snakes crossing 128-lane tile borders (exercises the
+    COLUMN window of the 2D-banded kernel) plus random blobs."""
+    rng = np.random.default_rng(seed)
+    m = rng.random((H, W)) < 0.15
+    y = 3
+    for x in range(2, W - 2):
+        m[y, x] = True
+        if x % 9 == 0 and y + 1 < H - 1:
+            m[y + 1, x] = True
+            y += 1
+    return m
+
+
+@pytest.mark.parametrize("seed,max_size", [(3, 8), (5, 20), (6, 100)])
+def test_banded2d_multi_tile_decision(seed, max_size):
+    """W = 384 spans 3 column tiles: components wider than a tile and
+    components whose root sits in a neighboring tile must still get the
+    exact small-size count / provable > max_size decision."""
+    H, W = 40, 384
+    m = _mask_with_horizontal_snakes(H, W, seed)
+    vals = np.zeros((H, W), np.int32)
+    sizes = brute_sizes(m, vals, 0, 4)
+    labels = connected_components_scan(
+        jnp.asarray(vals), jnp.asarray(m), 0, 4)
+    A = np.asarray(label_histogram_banded(labels, jnp.asarray(m), max_size,
+                                          interpret=True))
+    for root, size in sizes.items():
+        got = A[root // W, root % W]
+        if size <= max_size:
+            assert got == size, (root, size, got)
+        else:
+            assert got > max_size, (root, size, got)
+
+
+def test_banded2d_matches_row_banded_decision():
+    """The 2D-banded and row-banded kernels agree on the decision for
+    every root (RTDM_NO_HIST2D toggles the row-banded fallback)."""
+    import os
+
+    H, W, max_size = 32, 256, 12
+    m = _mask_with_horizontal_snakes(H, W, seed=9)
+    vals = np.zeros((H, W), np.int32)
+    labels = connected_components_scan(
+        jnp.asarray(vals), jnp.asarray(m), 0, 4)
+    A2 = np.asarray(label_histogram_banded(labels, jnp.asarray(m), max_size,
+                                           interpret=True))
+    os.environ["RTDM_NO_HIST2D"] = "1"
+    try:
+        A1 = np.asarray(label_histogram_banded(labels, jnp.asarray(m),
+                                               max_size, interpret=True))
+    finally:
+        os.environ.pop("RTDM_NO_HIST2D")
+    np.testing.assert_array_equal(A2 <= max_size, A1 <= max_size)
