@@ -78,6 +78,14 @@ def run_cell(W, H, D, matcher_kind, batch, frames):
             for i in range(n_inputs)
         ]
     dev = [(jnp.asarray(l), jnp.asarray(r)) for l, r in rendered]
+    if batch > 1 and engine.batch_mode == "pipelined":
+        # pre-split per-stream device arrays once: dispatch_batch then
+        # passes them straight through (no per-dispatch device slicing)
+        dev = [
+            ([jnp.asarray(l[b]) for b in range(batch)],
+             [jnp.asarray(r[b]) for b in range(batch)])
+            for l, r in dev
+        ]
 
     hsv_lo = jnp.asarray(engine.hsv_low)
     hsv_hi = jnp.asarray(engine.hsv_high)
