@@ -224,6 +224,30 @@ def stereo_bm(
     maxD = minD + D - 1
     INVALID = (minD - 1) * DISP_SCALE
 
+    # Pad-to-kernel-grid (same policy as ops/sgbm.py stereo_sgbm): shapes
+    # missing the fused-kernel alignment -- e.g. the calibration ROI
+    # 934x404 -- silently rode the ~4x slower XLA formulation. BM matching
+    # only looks LEFTWARD (x - d), so right-edge replication cannot win a
+    # match for any real pixel; deviations vs the unpadded result are
+    # confined to the replicated bottom rows' SAD windows (inside cv2's
+    # invalid border band at typical block sizes). RTDM_NO_PAD_FIT=1
+    # restores strict-shape behavior.
+    import os as _os
+
+    if (
+        not _use_pallas_bm(cfg, H, W)
+        and minD == 0 and D % 8 == 0 and D >= 8
+        and (cfg.backend == "pallas"
+             or (cfg.backend == "auto" and jax.default_backend() != "cpu"))
+        and _os.environ.get("RTDM_NO_PAD_FIT", "") in ("", "0")
+    ):
+        Hp2 = max(-(-H // 8) * 8, 8)
+        Wp2 = -(-W // 128) * 128
+        if (Hp2, Wp2) != (H, W) and _use_pallas_bm(cfg, Hp2, Wp2):
+            lq = jnp.pad(left, ((0, Hp2 - H), (0, Wp2 - W)), mode="edge")
+            rq = jnp.pad(right, ((0, Hp2 - H), (0, Wp2 - W)), mode="edge")
+            return stereo_bm(lq, rq, cfg, roi1=roi1, roi2=roi2)[:H, :W]
+
     lp = xsobel_prefilter(left, cfg.pre_filter_cap)
     rp = xsobel_prefilter(right, cfg.pre_filter_cap)
     use_pallas = _use_pallas_bm(cfg, H, W)

@@ -445,6 +445,30 @@ def stereo_sgbm(
         and H >= 16
         and D % 8 == 0
     )
+    # Pad-to-kernel-grid: shapes that miss the fused-kernel alignment
+    # (the reference's width-scaled D=192 at 1280 gives W1=1088 % 128 !=
+    # 0, and the calibration ROI 934x404 misses both gates) silently rode
+    # the ~8x slower XLA formulation. Edge-replicating the right/bottom
+    # borders up to the kernel grid and cropping back keeps every
+    # interior pixel's cost window identical; only pixels whose SGM
+    # sweeps graze the replicated border can deviate from the unpadded
+    # result (tools/accuracy_report.py --device measures this path vs cv2
+    # at the width-scaled D=192 cells; docs/ACCURACY.md records the
+    # numbers). RTDM_NO_PAD_FIT=1 restores strict-shape behavior.
+    wants_pallas = (
+        minD == 0 and D % 8 == 0
+        and (cfg.backend == "pallas"
+             or (cfg.backend == "auto" and jax.default_backend() != "cpu"))
+        and not _env_flag("RTDM_NO_PAD_FIT")
+    )
+    if not use_pallas and wants_pallas:
+        Hp2 = max(-(-H // 16) * 16, 16)
+        W1p2 = -(-(W - D) // 128) * 128
+        Wp2 = W1p2 + D
+        if (Hp2, Wp2) != (H, W) and _use_pallas(cfg, Hp2, W1p2, D):
+            lp = jnp.pad(left, ((0, Hp2 - H), (0, Wp2 - W)), mode="edge")
+            rp = jnp.pad(right, ((0, Hp2 - H), (0, Wp2 - W)), mode="edge")
+            return stereo_sgbm(lp, rp, cfg)[:H, :W]
     if use_pallas:
         # Full (H, D, W1)-layout Pallas pipeline (ops/pallas/sgm_hdw.py):
         # the cost kernel's native layout feeds the vertical passes' (D, W1)

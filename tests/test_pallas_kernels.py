@@ -106,21 +106,34 @@ def test_sgm_pallas_matches_xla(paths, H):
     (48, 200, 16),   # W1 = 152 % 128 != 0 -> zero-padded W1 aggregation
     (48, 200, 24),   # same, on the non-fused vertical chain (H % 16 != 0)
 ])
-def test_sgm_pallas_nonmult128_disparities(D, W, H):
-    """The width-scaled reference default (D=192 at 1280 wide) misses the
-    old D % 128 gate; these shapes pin the relaxed gate + the zero-padded
-    W1 aggregation bit-exact vs XLA."""
+def test_sgm_pallas_nonmult128_disparities(D, W, H, monkeypatch):
+    """Shapes off the kernel grid (the width-scaled reference default
+    D=192 at 1280 gives W1 % 128 != 0; the calibration ROI misses H % 8)
+    now ride the PAD-FIT pallas path: edge-replicated right/bottom
+    borders, computed on the kernel grid, cropped back. Deviations vs
+    the strict XLA result are confined to border-grazing sweeps and must
+    stay far inside the 1% bad-pixel budget; RTDM_NO_PAD_FIT=1 restores
+    the bit-exact strict-shape behavior."""
     left, right = stereo_pair(21, H, W, 9)
     kw = dict(
         kind="sgm", num_disparities=D, block_size=5, pre_filter_cap=63,
         p1=600, p2=2400, num_paths=8, uniqueness_ratio=10,
         speckle_window_size=50, speckle_range=32, disp12_max_diff=1,
     )
-    ref = stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
-                      MatcherConfig(backend="xla", **kw))
-    got = stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
-                      MatcherConfig(backend="pallas", **kw))
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    ref = np.asarray(stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
+                                 MatcherConfig(backend="xla", **kw)))
+    got = np.asarray(stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
+                                 MatcherConfig(backend="pallas", **kw)))
+    assert got.shape == ref.shape
+    both = (got != -16) & (ref != -16)
+    bad = (np.abs(got.astype(np.int32) - ref.astype(np.int32)) > 16) & both
+    frac = bad.sum() / max(both.sum(), 1)
+    assert frac <= 0.01, f"pad-fit divergence {frac:.4f} > 1%"
+
+    monkeypatch.setenv("RTDM_NO_PAD_FIT", "1")
+    strict = np.asarray(stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
+                                    MatcherConfig(backend="pallas", **kw)))
+    np.testing.assert_array_equal(strict, ref)
 
 
 def test_sgm_pallas_int16_streaming_path():
