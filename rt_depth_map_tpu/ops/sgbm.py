@@ -457,7 +457,7 @@ def stereo_sgbm(
     # numbers: every judged cell PASSes with worst 0.774%, indistinguishable
     # from the strict rounds). RTDM_NO_PAD_FIT=1 restores strict shapes.
     wants_pallas = (
-        minD == 0 and D % 8 == 0
+        minD == 0 and D % 8 == 0 and W - D >= 128
         and (cfg.backend == "pallas"
              or (cfg.backend == "auto" and jax.default_backend() != "cpu"))
         and not _env_flag("RTDM_NO_PAD_FIT")

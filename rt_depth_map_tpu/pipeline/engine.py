@@ -232,6 +232,8 @@ class Engine:
         """Async-dispatch B independent single-frame programs (pipelined
         multi-stream mode); returns the B device output trees WITHOUT
         waiting. lefts/rights: (B, H, W, 3) arrays (device or host)."""
+        assert len(lefts) == self.cfg.batch == len(rights), (
+            len(lefts), self.cfg.batch)
         hsv_lo = jnp.asarray(self.hsv_low)
         hsv_hi = jnp.asarray(self.hsv_high)
         msize = jnp.int32(self.min_object_size)
@@ -787,10 +789,12 @@ class Engine:
                     raise perr[0]
                 if stop["flag"]:
                     return None
+                import queue as _queue
+
                 try:
                     with st.measure("grab (queue wait)"):
                         return q.get(timeout=0.1)
-                except Exception:
+                except _queue.Empty:
                     continue
 
         try:
