@@ -148,6 +148,10 @@ def run_cell(W, H, D, matcher_kind, batch, frames):
 # without a number (ops/sgbm.py kill-switch policy).
 FALLBACK_TIERS = [
     {},
+    # first fallback: revert the round-4 swept vbidir block to the
+    # round-3 value (KB=4 measured faster, but larger vert blocks have
+    # crashed the Mosaic compile helper on occasion -- sgm_bidir.py note)
+    {"RTDM_VBIDIR_KB": "2"},
     {"RTDM_NO_PALLAS_CC": "1"},
     {"RTDM_NO_PALLAS_TRANSPOSE": "1", "RTDM_NO_PLANNED_REMAP": "1"},
     {"RTDM_NO_BIDIR": "1", "RTDM_NO_BATCH_STACK": "1", "RTDM_COST_R": "16"},
