@@ -279,6 +279,15 @@ def main():
                  "import os, jax;"
                  "p = os.environ.get('JAX_PLATFORMS', '').strip().lower();"
                  "p and jax.config.update('jax_platforms', p);"
+                 # persistent cache: a cached probe executable loads
+                 # locally, so a wedged remote COMPILE helper (seen after
+                 # Mosaic compile crashes) doesn't read as a dead tunnel
+                 "c = os.environ.get('RTDM_COMPILE_CACHE',"
+                 " os.path.expanduser('~/.cache/rt_depth_map_tpu/jax'));"
+                 "c and c != '0' and jax.config.update("
+                 "'jax_compilation_cache_dir', c);"
+                 "c and c != '0' and jax.config.update("
+                 "'jax_persistent_cache_min_compile_time_secs', 0.0);"
                  "import numpy as np; x = jax.numpy.ones((8, 128));"
                  "assert float(np.asarray((x @ x.T).sum())) == 8192.0"],
                 timeout=180, capture_output=True, check=False,
