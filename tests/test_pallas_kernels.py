@@ -381,3 +381,33 @@ def test_bm_pallas_cross_config_parity(seed, D, bs, cap, tex, uniq, sws, d12):
     got = stereo_bm(jnp.asarray(left), jnp.asarray(right),
                     MatcherConfig(backend="pallas", **kw))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_bm_pad_fit_off_grid_shapes(monkeypatch):
+    """BM pad-to-kernel-grid (ops/bm.py): shapes off the (H % 8, W % 128)
+    grid -- e.g. the calibration ROI -- ride the padded Pallas path. BM
+    matching only looks leftward, so right-edge replication cannot win a
+    match for real pixels; divergence vs the strict XLA result must stay
+    far inside the 1% budget, and RTDM_NO_PAD_FIT=1 restores bit-exact
+    strict-shape behavior."""
+    from rt_depth_map_tpu.ops.bm import stereo_bm
+
+    H, W = 44, 200  # off both gates
+    left, right = stereo_pair(31, H, W, 6)
+    kw = dict(kind="bm", num_disparities=32, block_size=9,
+              pre_filter_cap=31, texture_threshold=10, uniqueness_ratio=10,
+              speckle_window_size=50, speckle_range=32, disp12_max_diff=1)
+    ref = np.asarray(stereo_bm(jnp.asarray(left), jnp.asarray(right),
+                               MatcherConfig(backend="xla", **kw)))
+    got = np.asarray(stereo_bm(jnp.asarray(left), jnp.asarray(right),
+                               MatcherConfig(backend="pallas", **kw)))
+    assert got.shape == ref.shape
+    both = (got != -16) & (ref != -16)
+    bad = (np.abs(got.astype(np.int32) - ref.astype(np.int32)) > 16) & both
+    frac = bad.sum() / max(both.sum(), 1)
+    assert frac <= 0.01, f"BM pad-fit divergence {frac:.4f} > 1%"
+
+    monkeypatch.setenv("RTDM_NO_PAD_FIT", "1")
+    strict = np.asarray(stereo_bm(jnp.asarray(left), jnp.asarray(right),
+                                  MatcherConfig(backend="pallas", **kw)))
+    np.testing.assert_array_equal(strict, ref)
