@@ -101,7 +101,13 @@ def run_cell(W, H, D, matcher_kind, batch, frames):
         persistent ring inputs are passed as d2d copies/slices."""
         l, r = pair
         if batch > 1 and engine.batch_mode == "pipelined":
-            # production multi-stream mode: B async single-frame dispatches
+            # production multi-stream mode: B async single-frame dispatches.
+            # Under RTDM_DONATE the step consumes its inputs, so the
+            # persistent ring arrays must be copied per dispatch too (the
+            # second iteration would otherwise dereference donated buffers).
+            if engine._donate:
+                l = [jnp.copy(x) for x in l]
+                r = [jnp.copy(x) for x in r]
             return engine.dispatch_batch(l, r)
         if engine._donate:
             l, r = jnp.copy(l), jnp.copy(r)

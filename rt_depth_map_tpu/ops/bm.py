@@ -228,10 +228,14 @@ def stereo_bm(
     # missing the fused-kernel alignment -- e.g. the calibration ROI
     # 934x404 -- silently rode the ~4x slower XLA formulation. BM matching
     # only looks LEFTWARD (x - d), so right-edge replication cannot win a
-    # match for any real pixel; deviations vs the unpadded result are
-    # confined to the replicated bottom rows' SAD windows (inside cv2's
-    # invalid border band at typical block sizes). RTDM_NO_PAD_FIT=1
-    # restores strict-shape behavior.
+    # match for any real pixel, but each pixel's SAD window still extends
+    # w2 columns right / w2 rows down, so pixels within w2 of the original
+    # right/bottom edge aggregate replicated data -- and the padded run
+    # considers them valid where the strict path's border test (xs < W-w2,
+    # ys < H-w2 below) invalidates them. Masking those bands back to
+    # INVALID after the crop restores the strict path's border semantics;
+    # interior pixels' windows never touch replicated data and are
+    # bit-identical. RTDM_NO_PAD_FIT=1 restores strict-shape behavior.
     import os as _os
 
     if (
@@ -246,7 +250,11 @@ def stereo_bm(
         if (Hp2, Wp2) != (H, W) and _use_pallas_bm(cfg, Hp2, Wp2):
             lq = jnp.pad(left, ((0, Hp2 - H), (0, Wp2 - W)), mode="edge")
             rq = jnp.pad(right, ((0, Hp2 - H), (0, Wp2 - W)), mode="edge")
-            return stereo_bm(lq, rq, cfg, roi1=roi1, roi2=roi2)[:H, :W]
+            dpad = stereo_bm(lq, rq, cfg, roi1=roi1, roi2=roi2)[:H, :W]
+            yb = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+            xb = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+            in_band = (xb >= W - w2) | (yb >= H - w2)
+            return jnp.where(in_band, jnp.int16(INVALID), dpad)
 
     lp = xsobel_prefilter(left, cfg.pre_filter_cap)
     rp = xsobel_prefilter(right, cfg.pre_filter_cap)

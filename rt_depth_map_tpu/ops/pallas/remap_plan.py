@@ -92,7 +92,8 @@ def _quantize(grid: np.ndarray):
 
 def plan_remap(grid: np.ndarray, src_hw: tuple[int, int],
                max_nk: int = 4, max_bh: int = 128,
-               max_slen: int = 192) -> RemapPlan | None:
+               max_slen: int = 192,
+               valid_override: np.ndarray | None = None) -> RemapPlan | None:
     # max_slen leaves room for the one boundary tile of an edge-padded
     # (non-multiple-of-128) grid, where the replicated map columns make t
     # fall by 1 per lane (spread ~128 + the local dx spread).
@@ -110,6 +111,15 @@ def plan_remap(grid: np.ndarray, src_hw: tuple[int, int],
                       mode="edge")
     ix, iy, fx, fy = _quantize(grid)
     valid = (ix >= -1) & (ix <= W - 1) & (iy >= -1) & (iy <= H - 1)
+    if valid_override is not None:
+        # caller-supplied per-entry validity (frame-stacked sources whose
+        # per-frame extent is tighter than (H, W) -- engine batch path);
+        # coords of overridden entries must still be in-extent/local.
+        ov = valid_override
+        if ov.shape != (out_h, out_w):
+            ov = np.pad(ov, ((0, out_h - ov.shape[0]),
+                             (0, out_w - ov.shape[1])), mode="edge")
+        valid = valid & ov
     iyc = np.clip(iy + 1, 0, H)    # rows of the 1-padded source
     ixc = np.clip(ix + 1, 0, W)    # cols of the 1-padded source
 

@@ -98,7 +98,13 @@ def _shift_lanes(L, dx, edge=None):
         return L
     if edge is None:
         return _roll_shift(L, dx, 0, 1)
-    rolled = pltpu.roll(L, dx % L.shape[1], axis=1)
+    if L.dtype == jnp.int16:
+        # Mosaic rotate is 32-bit only (same constraint _roll_shift works
+        # around): round-trip int16 carries through int32
+        rolled = pltpu.roll(L.astype(jnp.int32), dx % L.shape[1],
+                            axis=1).astype(jnp.int16)
+    else:
+        rolled = pltpu.roll(L, dx % L.shape[1], axis=1)
     return jnp.where(edge, 0, rolled)
 
 

@@ -16,12 +16,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def remap_bilinear(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+def remap_bilinear(img: jnp.ndarray, grid: jnp.ndarray,
+                   valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Sample `img` at `grid` (..., 2) [x, y] source coordinates.
 
     img: (H, W) or (H, W, C), uint8 or float. grid: (Ho, Wo, 2) float32.
     Returns (Ho, Wo[, C]) with img.dtype. Out-of-image taps read 0
     (BORDER_CONSTANT, the cv::remap default used by the reference).
+
+    valid: optional (Ho, Wo) bool -- entries marked False output 0 even if
+    their coords fall inside `img` (frame-stacked sources whose per-frame
+    extent is tighter than the stacked extent -- engine batch path).
     """
     H, W = img.shape[:2]
     squeeze = img.ndim == 2
@@ -58,6 +63,8 @@ def remap_bilinear(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
         )  # (H+1, W+1, C); P[y, x] = window with top-left (y-1, x-1) of img
         Hp, Wp = H + 1, W + 1
         any_valid = (ix >= -1) & (ix <= W - 1) & (iy >= -1) & (iy <= H - 1)
+        if valid is not None:
+            any_valid = any_valid & valid
         lin = jnp.clip(iy + 1, 0, Hp - 1) * Wp + jnp.clip(ix + 1, 0, Wp - 1)
         packed = jnp.take(P.reshape(Hp * Wp, C), lin.reshape(-1), axis=0)
         packed = packed.reshape(lin.shape + (C,))
@@ -92,5 +99,7 @@ def remap_bilinear(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
             + p10 * (1 - gx) * gy
             + p11 * gx * gy
         ).astype(img.dtype)
+        if valid is not None:
+            out = jnp.where(valid[..., None], out, 0)
 
     return out[..., 0] if squeeze else out

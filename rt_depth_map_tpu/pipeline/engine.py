@@ -304,26 +304,56 @@ class Engine:
 
         np_l = self.map_left[ry : ry + rh, rx : rx + rw]
         np_r = self.map_right[ry : ry + rh, rx : rx + rw]
-        off = (np.arange(B, dtype=np.float32) * H)[:, None, None]
+        # The stacked source gets ONE zero guard row after each frame
+        # (height Hs = H + 1 per frame): bilinear windows that straddle a
+        # frame's top/bottom edge (iy == -1 or H-1) then tap the guard row
+        # exactly like the single-frame path taps the constant-zero border,
+        # instead of bleeding into the adjacent frame's edge rows. Windows
+        # FULLY outside a frame's extent are redirected to a far-out
+        # sentinel so the remap's any_valid zeroes them per frame (the
+        # stacked extent check alone would accept them).
+        Hs = H + 1
+        off = (np.arange(B, dtype=np.float32) * Hs)[:, None, None]
 
         def stackmap(m):
             mb = np.broadcast_to(m, (B,) + m.shape).copy()
+            # replicate remap_bilinear's fixed-point quantization to find
+            # per-frame fully-invalid windows (its any_valid test); their
+            # coords are CLAMPED into the frame (keeps the planned-remap
+            # locality analysis intact) and zeroed via the validity mask
+            ix = np.floor(mb[..., 0])
+            iy = np.floor(mb[..., 1])
+            ix = ix + (np.round((mb[..., 0] - ix) * 32.0).astype(np.int64) >> 5)
+            iy = iy + (np.round((mb[..., 1] - iy) * 32.0).astype(np.int64) >> 5)
+            invalid = (ix < -1) | (ix > W - 1) | (iy < -1) | (iy > H - 1)
+            # only invalid entries move (valid partial windows at the
+            # frame's top/left edge legitimately sit in [-1, 0))
+            mb[..., 0] = np.where(invalid, np.clip(mb[..., 0], 0.0, W - 1),
+                                  mb[..., 0])
+            mb[..., 1] = np.where(invalid, np.clip(mb[..., 1], 0.0, H - 1),
+                                  mb[..., 1])
             mb[..., 1] += off  # sample frame b's rows of the stacked source
-            return mb.reshape(B * rh, rw, 2)
+            return (mb.reshape(B * rh, rw, 2),
+                    (~invalid).reshape(B * rh, rw))
 
-        np_lb, np_rb = stackmap(np_l), stackmap(np_r)
+        (np_lb, val_lb), (np_rb, val_rb) = stackmap(np_l), stackmap(np_r)
         plan_lb = plan_rb = None
         if jax.default_backend() not in ("cpu",) and os.environ.get(
             "RTDM_NO_PLANNED_REMAP", ""
         ) in ("", "0"):
-            plan_lb = plan_remap(np_lb, (B * H, W))
-            plan_rb = plan_remap(np_rb, (B * H, W))
+            plan_lb = plan_remap(np_lb, (B * Hs, W), valid_override=val_lb)
+            plan_rb = plan_remap(np_rb, (B * Hs, W), valid_override=val_rb)
         grid_lb = jnp.asarray(np_lb)
         grid_rb = jnp.asarray(np_rb)
+        vmask_lb = jnp.asarray(val_lb)
+        vmask_rb = jnp.asarray(val_rb)
 
         def pre_fn_b(lefts, rights, hsv_low, hsv_high, min_size):
-            lst = lefts.reshape(B * H, W, 3)
-            rst = rights.reshape(B * H, W, 3)
+            # zero guard row between stacked frames (see stackmap note)
+            lst = jnp.pad(lefts, ((0, 0), (0, 1), (0, 0), (0, 0))
+                          ).reshape(B * Hs, W, 3)
+            rst = jnp.pad(rights, ((0, 0), (0, 1), (0, 0), (0, 0))
+                          ).reshape(B * Hs, W, 3)
             lg = rgb_to_gray(lst)
             rg = rgb_to_gray(rst)
             lstack = jnp.concatenate([lg[..., None], lst], axis=-1)
@@ -331,8 +361,8 @@ class Engine:
                 lrect4 = remap_bilinear_planned(lstack, plan_lb)
                 rrect = remap_bilinear_planned(rg, plan_rb)
             else:
-                lrect4 = remap_bilinear(lstack, grid_lb)
-                rrect = remap_bilinear(rg, grid_rb)
+                lrect4 = remap_bilinear(lstack, grid_lb, valid=vmask_lb)
+                rrect = remap_bilinear(rg, grid_rb, valid=vmask_rb)
             lrect = lrect4[..., 0]
             rgbr = lrect4[..., 1:]
             hsv = rgb_to_hsv(rgbr)
@@ -762,7 +792,13 @@ class Engine:
             pstop = threading.Event()
 
             def _produce():
-                while not pstop.is_set():
+                # stop at the requested frame count: a finite source must
+                # not be read past what the loop will consume (a loop=False
+                # FileSequenceSource would hit StopIteration on the
+                # read-ahead and poison the run)
+                produced = 0
+                while not pstop.is_set() and (frames is None
+                                              or produced < frames):
                     try:
                         pair = self._grab_decode()
                     except Exception as e:  # dead stream: fail the loop
@@ -773,6 +809,7 @@ class Engine:
                     while not pstop.is_set():
                         try:
                             q.put(pair, timeout=0.1)
+                            produced += 1
                             break
                         except _queue.Full:
                             continue
@@ -784,13 +821,19 @@ class Engine:
         def next_pair():
             if not prefetch:
                 return self._grab_decode()
+            import queue as _queue
+
             while True:
                 if perr:
-                    raise perr[0]
+                    # drain decoded pairs still queued before surfacing the
+                    # producer's failure (a finite source's StopIteration
+                    # must not abort frames that already decoded)
+                    try:
+                        return q.get_nowait()
+                    except _queue.Empty:
+                        raise perr[0] from None
                 if stop["flag"]:
                     return None
-                import queue as _queue
-
                 try:
                     with st.measure("grab (queue wait)"):
                         return q.get(timeout=0.1)
