@@ -43,6 +43,22 @@ def _use_pallas_cc(H, W, n_fields=1):
     return jax.default_backend() not in ("cpu",) and cc_fits_vmem(H, W, n_fields)
 
 
+def cc_round_cap() -> int | None:
+    """Production propagation-round cap (RTDM_CC_MAX_ROUNDS; 0 disables).
+
+    Real-scene masks/disparities converge in 2-4 sweeps; the cap only
+    binds on adversarial inputs (dense random noise from a degraded
+    sensor), whose unbounded convergence cost 819 ms/frame in round 4
+    (HARVEST_R4.txt:21-23). The default 16 is ~4x the worst converged
+    round count ever observed on real scenes, and bounds the speckle/CC
+    stages' worst case at ~6x their nominal time instead of ~300x."""
+    try:
+        v = int(os.environ.get("RTDM_CC_MAX_ROUNDS", "16"))
+    except ValueError:
+        v = 16
+    return None if v <= 0 else v
+
+
 def _shift_along(a: jnp.ndarray, n: int, axis: int, fill) -> jnp.ndarray:
     """Shift forward by n along axis (positive n moves content toward higher
     indices), filling with `fill`."""
@@ -111,11 +127,21 @@ def connected_components_scan(
     active: jnp.ndarray,
     max_diff,
     connectivity: int = 4,
+    max_rounds: int | None = None,
 ) -> jnp.ndarray:
     """Labels (min linear index per component) of `active` pixels whose
     edge-adjacent values differ by <= max_diff; inactive pixels keep a unique
     self-label. connectivity: 4 (speckle/cv2.filterSpeckles) or 8
-    (cv2.findContours blobs)."""
+    (cv2.findContours blobs).
+
+    max_rounds: optional cap on propagation sweeps (worst-case runtime
+    bound; convergence needs one sweep per direction turn of the longest
+    component "snake", so real scenes converge in 2-4 while adversarial
+    noise can need O(H+W) -- the 819ms random-noise artifact of round 4).
+    Under the cap, labels may stop short of the fixed point: every label
+    group is then a connected SUBSET of its true component (propagation
+    never crosses component edges), which downstream consumers must treat
+    conservatively (see filter_speckles' decision argument)."""
     H, W = values.shape
     v = values.astype(jnp.int32)
     md = jnp.asarray(max_diff, jnp.int32)
@@ -180,20 +206,24 @@ def connected_components_scan(
         # field vs ~630MB/round of materialized sweep planes in XLA
         d_se, d_sw = diag if connectivity == 8 else (None, None)
         return seg_min_propagate_pallas(idx, active, allowed_h, allowed_v,
-                                        d_se, d_sw)
+                                        d_se, d_sw, max_rounds=max_rounds)
 
     def body(state):
-        labels, _ = state
+        labels, _, r = state
         # two sweeps per trip halve the while-loop round count
         new = sweep(sweep(labels))
-        return new, jnp.any(new != labels)
+        return new, jnp.any(new != labels), r + 2
 
-    labels, _ = jax.lax.while_loop(lambda s: s[1], body, (idx, jnp.bool_(True)))
+    cap = jnp.int32(max_rounds if max_rounds is not None else 2**30)
+    labels, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < cap), body, (idx, jnp.bool_(True),
+                                              jnp.int32(0)))
     return labels
 
 
 def connected_components_bbox(
-    active: jnp.ndarray, connectivity: int = 8
+    active: jnp.ndarray, connectivity: int = 8,
+    max_rounds: int | None = None,
 ):
     """(labels, minx, maxx) per pixel for components of `active`.
 
@@ -270,19 +300,22 @@ def connected_components_bbox(
         # load, one convergence loop per field on-chip)
         d_se, d_sw = diag if connectivity == 8 else (None, None)
         out = seg_min_propagate_pallas(jnp.stack(init), active,
-                                       allowed_h, allowed_v, d_se, d_sw)
+                                       allowed_h, allowed_v, d_se, d_sw,
+                                       max_rounds=max_rounds)
         return out[0], -out[1], out[2], -out[3]
 
     def body(state):
-        fields, _ = state
+        fields, _, r = state
         new = sweep(sweep(list(fields)))
         changed = False
         for a, b in zip(fields, new):
             changed = jnp.any(a != b) | changed
-        return tuple(new), changed
+        return tuple(new), changed, r + 2
 
-    (labels, neg_maxidx, minx, neg_maxx), _ = jax.lax.while_loop(
-        lambda s: s[1], body, (init, jnp.bool_(True))
+    cap = jnp.int32(max_rounds if max_rounds is not None else 2**30)
+    (labels, neg_maxidx, minx, neg_maxx), _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < cap), body, (init, jnp.bool_(True),
+                                              jnp.int32(0))
     )
     return labels, -neg_maxidx, minx, -neg_maxx
 
@@ -296,6 +329,7 @@ def component_small(
     connectivity: int = 4,
     interpret: bool = False,
     force_pallas: bool = False,
+    max_rounds: int | None = None,
 ) -> jnp.ndarray:
     """(H, W) bool: active pixel's component has <= max_size pixels.
 
@@ -349,7 +383,8 @@ def component_small(
         a_sw = (active[:-1, 1:] & active[1:, :-1]
                 & (jnp.abs(v[:-1, 1:] - v[1:, :-1]) <= md))
     field = seg_min_propagate_pallas(field, active, allowed_h, allowed_v,
-                                     a_se, a_sw, interpret=interpret)
+                                     a_se, a_sw, interpret=interpret,
+                                     max_rounds=max_rounds)
     return active & (field == 0)
 
 

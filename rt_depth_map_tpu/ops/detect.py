@@ -52,14 +52,19 @@ def detect_objects(
     mask: (H, W) uint8/bool filtered object mask. min_size: minimum bbox
     area (cv::Rect::area semantics), python int or traced scalar.
     """
-    from rt_depth_map_tpu.ops.cc import connected_components_bbox
+    from rt_depth_map_tpu.ops.cc import cc_round_cap, connected_components_bbox
 
     H, W = mask.shape
     active = mask != 0
     # scatter-free: bbox extremes are idempotent min/max aggregates and ride
     # the label propagation (ops/cc.py); miny/maxy fall out of the min/max
-    # linear indices (the 4-scatter formulation cost ~25ms at 720p)
-    labels, maxidx, minx2, maxx2 = connected_components_bbox(active, 8)
+    # linear indices (the 4-scatter formulation cost ~25ms at 720p).
+    # cc_round_cap bounds the adversarial worst case: morphological
+    # open/close masks are blob-like and converge in 2-3 sweeps; under the
+    # cap a pathological mask's components may SPLIT (extra boxes whose
+    # union-ROI is a subset of the true union -- degraded, not unsafe).
+    labels, maxidx, minx2, maxx2 = connected_components_bbox(
+        active, 8, max_rounds=cc_round_cap())
 
     flat_labels = labels.reshape(-1)
     act = active.reshape(-1)

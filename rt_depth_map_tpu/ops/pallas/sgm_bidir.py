@@ -43,10 +43,47 @@ from rt_depth_map_tpu.ops.pallas.sgm_hdw import (
 )
 
 
+def _probe_work(slab, n):
+    """TIMING PROBE ONLY (RTDM_PROBE_BIDIR_WORK): emulates the op mix of an
+    in-kernel BT-cost producer (unpack shifts/ands, BT max/sub/min chains,
+    window rolls+selects+adds) on a resident slab, n repetitions. The
+    result is XORed into the recurrence output to defeat DCE -- outputs are
+    GARBAGE while the knob is set. Used by tools/probe_fused_hide.py to
+    measure how much independent per-step arithmetic the bidirectional
+    kernels hide in their dependency-stall bubbles (the go/no-go for the
+    fused cost-into-aggregation design, docs/PERF_ROADMAP.md)."""
+    g = slab
+    for _ in range(n):
+        # unpack-like: 5 shifts + 5 ands
+        a = (g >> 8) & 255
+        b = (g >> 16) & 255
+        c = (g >> 24) & 255
+        d = (g >> 1) & 127
+        e = (g >> 3) & 63
+        # BT-like: interleaved max/sub/min chains (~20 ops)
+        c0 = jnp.maximum(0, jnp.maximum(a - b, c - a))
+        c1 = jnp.maximum(0, jnp.maximum(b - d, e - b))
+        c2 = jnp.minimum(c0, c1)
+        c3 = jnp.maximum(0, jnp.maximum(a - e, d - a))
+        c4 = jnp.maximum(0, jnp.maximum(c - d, e - c))
+        c5 = jnp.minimum(c3, c4)
+        p = c2 + (c5 >> 2)
+        # window-like: 4 rolls + 4 selects + 6 adds
+        pos = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+        acc = p
+        for k in (1, 2):
+            l_ = jnp.where(pos < k, p, pltpu.roll(p, k, axis=1))
+            r_ = jnp.where(pos >= p.shape[1] - k, p,
+                           pltpu.roll(p, -k % p.shape[1], axis=1))
+            acc = acc + l_ + r_
+        g = acc
+    return g
+
+
 def _horiz_bidir_kernel(Ct_hbm, out_hbm, cF, cB, crF, crB, obF, obB,
                         inF_sems, inB_sems, outF_sems, outB_sems,
                         rdF_sems, rdB_sems, *, W1, H, D, p1, p2,
-                        io_dtype, KB, carry_dtype=jnp.int32):
+                        io_dtype, KB, carry_dtype=jnp.int32, probe=0):
     """Both horizontal directions over the x-major (W1, D, H) volume in one
     launch. out_hbm ends as the 2-direction sum Sh_t. Forward visits block
     t ascending, backward block nb-1-t descending; KB columns per DMA."""
@@ -100,6 +137,11 @@ def _horiz_bidir_kernel(Ct_hbm, out_hbm, cF, cB, crF, crB, obF, obB,
                                p1, p2)
             LB = _sgm_step_hdw(crB[slot, kb].astype(carry_dtype), cB[...],
                                p1, p2)
+            if probe:  # timing probe only: see _probe_work (garbage output)
+                LF = LF ^ (_probe_work(crF[slot, k].astype(jnp.int32),
+                                       probe) & 1)
+                LB = LB ^ (_probe_work(crB[slot, kb].astype(jnp.int32),
+                                       probe) & 1)
             cF[...] = LF
             cB[...] = LB
             if raw:
@@ -220,6 +262,7 @@ def sgm_horiz_bidir_dh(Ct, p1, p2, interpret=False):
         # 4 double-buffered (2, KB, D, H) stream buffers + 2 int32 carries
         return 8 * kb * D * H * itemsize + 8 * D * H
 
+    probe = int(os.environ.get("RTDM_PROBE_BIDIR_WORK", "0") or 0)
     if os.environ.get("RTDM_HBIDIR_KB", ""):  # hardware-tuning override
         KB = int(os.environ["RTDM_HBIDIR_KB"])
     else:
@@ -240,7 +283,7 @@ def sgm_horiz_bidir_dh(Ct, p1, p2, interpret=False):
     cdt = _carry_dtype(io_dtype, p1, p2)
     kernel = functools.partial(
         _horiz_bidir_kernel, W1=W1, H=H, D=D, p1=p1, p2=p2,
-        io_dtype=io_dtype, KB=KB, carry_dtype=cdt,
+        io_dtype=io_dtype, KB=KB, carry_dtype=cdt, probe=probe,
     )
     buf = lambda: pltpu.VMEM((2, KB, D, H), io_dtype)  # noqa: E731
     return pl.pallas_call(
@@ -268,7 +311,8 @@ def _vert_bidir_wta_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm,
                            inD_sems, inU_sems, shD_sems, shU_sems,
                            rwD_sems, rwU_sems, obD_sems, obU_sems,
                            *, H, W1, D, p1, p2, uniqueness_ratio,
-                           io_dtype, KB, seg=None, carry_dtype=jnp.int32):
+                           io_dtype, KB, seg=None, carry_dtype=jnp.int32,
+                           probe=0):
     """Down3 + up3 + WTA over (H, D, W1) in one launch. First half: each
     sweep writes its raw 3-direction sum to raw_hbm. Second half: each
     sweep reads the other's raw block, adds its own 3 directions and the
@@ -374,6 +418,9 @@ def _vert_bidir_wta_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm,
                                      p1, p2, e_lo, e_hi)
             U0, U1, U2 = _three_dirs(CU, cU0[...], cU1[...], cU2[...],
                                      p1, p2, e_lo, e_hi)
+            if probe:  # timing probe only: see _probe_work (garbage output)
+                D0 = D0 ^ (_probe_work(CD, probe) & 1)
+                U0 = U0 ^ (_probe_work(CU, probe) & 1)
             cD0[...], cD1[...], cD2[...] = D0, D1, D2
             cU0[...], cU1[...], cU2[...] = U0, U1, U2
             rwD[slot, k] = (D0 + D1 + D2).astype(io_dtype)
@@ -432,6 +479,9 @@ def _vert_bidir_wta_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm,
                                      p1, p2, e_lo, e_hi)
             U0, U1, U2 = _three_dirs(CU, cU0[...], cU1[...], cU2[...],
                                      p1, p2, e_lo, e_hi)
+            if probe:  # timing probe only: see _probe_work (garbage output)
+                D0 = D0 ^ (_probe_work(CD, probe) & 1)
+                U0 = U0 ^ (_probe_work(CU, probe) & 1)
             cD0[...], cD1[...], cD2[...] = D0, D1, D2
             cU0[...], cU1[...], cU2[...] = U0, U1, U2
             # the 8-direction total can exceed int16 (8 * C_max): sum in
@@ -534,10 +584,11 @@ def sgm_vert_bidir_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
     if 8 % KB or H % (2 * KB):
         raise ValueError(f"KB={KB} must divide 8 and 2*KB must divide H={H}")
     cdt = _carry_dtype(io_dtype, p1, p2)
+    probe = int(os.environ.get("RTDM_PROBE_BIDIR_WORK", "0") or 0)
     kernel = functools.partial(
         _vert_bidir_wta_kernel, H=H, W1=W1, D=D, p1=p1, p2=p2,
         uniqueness_ratio=uniqueness_ratio, io_dtype=io_dtype, KB=KB,
-        seg=seg, carry_dtype=cdt,
+        seg=seg, carry_dtype=cdt, probe=probe,
     )
     out = jax.ShapeDtypeStruct((H, W1), jnp.int32)
     buf = lambda dt: pltpu.VMEM((2, KB, D, W1), dt)  # noqa: E731

@@ -28,10 +28,21 @@ from rt_depth_map_tpu.ops.sgbm import _halfpix, sgbm_preprocess
 
 
 def _kernel(*refs, R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype,
-            n_chunks, variant, n_stripes=None):
+            n_chunks, variant, n_stripes=None, BU=1):
+    # Carried-static-roll scheme (production variants): the per-disparity
+    # alignment rolls of the packed right planes were DYNAMIC (sk depends
+    # on the fori block index), and Mosaic lowers a dynamic-amount lane
+    # roll ~1.6x slower than a static one (tools/cost_floor.py bt 1.58ms
+    # vs btsr0 0.97ms over null at 720p/D=128). Instead the block-base
+    # alignment lives in two scratch planes advanced by a STATIC roll of 8
+    # per block; the 8 in-block disparities are static rolls 0..7 on top.
+    use_carry = variant in ("full", "mxuh")
     if variant == "mxuh":
-        (planes_hbm, band_hbm, C_hbm, pin, obuf, band,
+        (planes_hbm, band_hbm, C_hbm, pin, obuf, band, rollA, rollB,
          in_sems, out_sems, band_sem) = refs
+    elif use_carry:
+        (planes_hbm, C_hbm, pin, obuf, rollA, rollB,
+         in_sems, out_sems) = refs
     else:
         planes_hbm, C_hbm, pin, obuf, in_sems, out_sems = refs
     w2 = bs // 2
@@ -142,6 +153,14 @@ def _kernel(*refs, R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype,
             vacc = vacc + pltpu.roll(h, -r % Rh, axis=0)
         return vacc[0:R]
 
+    if variant == "btsr0":
+        # measurement only (wrong disparity indexing): one STATIC base
+        # roll for the whole program; per-k STATIC rolls on top. Probes
+        # the static-roll cost structure the carried-roll restructure
+        # would have, vs the dynamic rolls of "bt"/"full".
+        baseA = pltpu.roll(P[6], (32 - minX1) % Wp, axis=1)
+        baseB = pltpu.roll(P[7], (32 - minX1) % Wp, axis=1)
+
     def pix_at(db, k):
         # ONE dynamic roll per packed plane per disparity, sliced at
         # lane 0: a static-offset slice of a pre-rolled plane gets a
@@ -155,8 +174,18 @@ def _kernel(*refs, R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype,
             # disparity indexing) -- the no-relayout floor
             sk = (8 * db + 8 - minX1) % Wp
 
-        a = pltpu.roll(P[6], sk, axis=1)[:, :W1]
-        b = pltpu.roll(P[7], sk, axis=1)[:, :W1]
+        if variant == "btsr0":
+            a = pltpu.roll(baseA, k, axis=1)[:, :W1]
+            b = pltpu.roll(baseB, k, axis=1)[:, :W1]
+        elif use_carry:
+            # static roll k on the carried block base (see header note);
+            # rolls compose additively mod Wp, so
+            # roll(roll(P, -minX1), 8*db + k) == roll(P, sk) bit-exactly
+            a = pltpu.roll(rollA[...], k, axis=1)[:, :W1]
+            b = pltpu.roll(rollB[...], k, axis=1)[:, :W1]
+        else:
+            a = pltpu.roll(P[6], sk, axis=1)[:, :W1]
+            b = pltpu.roll(P[7], sk, axis=1)[:, :W1]
         rs_ = a & 255
         rv0_ = (a >> 8) & 255
         rv1_ = (a >> 16) & 255
@@ -179,7 +208,7 @@ def _kernel(*refs, R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype,
         # variant is a measurement knob (tools/cost_floor.py): the
         # non-"full"/"mxuh" settings keep the loop + DMA structure but
         # drop compute stages to expose each stage's cost in isolation.
-        if variant in ("null", "bt", "bt1", "btns", "bth"):
+        if variant in ("null", "bt", "bt1", "btns", "btsr0", "bth"):
             for k in range(8):
                 pix = pix_at(db, k)
                 if variant == "null":
@@ -222,9 +251,28 @@ def _kernel(*refs, R, W1, Wp, D, minX1, min_disp, bs, Rh, out_dtype,
         def _():
             out_dma(chunk, i).start()
 
+        if use_carry:
+            # advance the carried alignment to the next 8-disparity block
+            rollA[...] = pltpu.roll(rollA[...], 8, axis=1)
+            rollB[...] = pltpu.roll(rollB[...], 8, axis=1)
         return 0
 
-    jax.lax.fori_loop(0, n_blocks, block, 0)
+    if use_carry:
+        rollA[...] = pltpu.roll(P[6], (-minX1) % Wp, axis=1)
+        rollB[...] = pltpu.roll(P[7], (-minX1) % Wp, axis=1)
+
+    if BU == 1:
+        jax.lax.fori_loop(0, n_blocks, block, 0)
+    else:
+        # BU blocks per fori trip: the per-trip overhead (~2us) was ~40%
+        # of the kernel's null floor at 576 trips/frame (tools/
+        # cost_floor.py); unrolling trades it for compile time.
+        def trip(t, _):
+            for u in range(BU):
+                block(t * BU + u, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks // BU, trip, 0)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -362,10 +410,18 @@ def sgm_cost_volume_pallas(
         planes = frame_planes(left, right)
 
     n_chunks = 2 if (D // 8) % 2 == 0 else 1
+    try:  # blocks per fori trip (measured neutral at 720p: the fori trip
+        # overhead is not the cost kernel's floor; knob kept for other
+        # shapes) -- malformed values keep the default
+        BU = int(os.environ.get("RTDM_COST_BU", "1"))
+    except ValueError:
+        BU = 1
+    if BU < 1 or (D // 8) % BU:
+        BU = 1
     kernel = functools.partial(
         _kernel, R=R, W1=W1, Wp=Wp, D=D, minX1=minX1, min_disp=0, bs=bs,
         Rh=Rh_pad, out_dtype=dtype, n_chunks=n_chunks, variant=_variant,
-        n_stripes=(H // R) if batched else None,
+        n_stripes=(H // R) if batched else None, BU=BU,
     )
     operands = [planes]
     scratches = [
@@ -392,6 +448,10 @@ def sgm_cost_volume_pallas(
         operands.append(jnp.asarray(band_np))
         scratches.append(pltpu.VMEM((W1, W1), jnp.int8))
         sems.append(pltpu.SemaphoreType.DMA(()))
+    if _variant in ("full", "mxuh"):
+        # carried-static-roll alignment planes (see _kernel header note)
+        scratches.append(pltpu.VMEM((Rh_pad, Wp), jnp.int32))
+        scratches.append(pltpu.VMEM((Rh_pad, Wp), jnp.int32))
     C4 = pl.pallas_call(
         kernel,
         grid=(B * (H // R),),

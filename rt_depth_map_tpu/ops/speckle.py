@@ -97,13 +97,33 @@ def filter_speckles(
     hook+pointer-jump labeling (connected_components above, kept for
     reference/tests) costs seconds at 720p on TPU. Only the size
     DECISION is needed, so the TPU path uses the banded windowed
-    histogram (ops/cc.py component_small)."""
-    from rt_depth_map_tpu.ops.cc import component_small, connected_components_scan
+    histogram (ops/cc.py component_small).
 
+    Worst-case bound (cc_round_cap): both propagation passes (labels,
+    then root-decision broadcast) are capped at RTDM_CC_MAX_ROUNDS
+    sweeps. Decision semantics under the cap: a capped label field
+    sub-partitions every true component (propagation never crosses
+    component edges), so per-label pixel counts are <= the true
+    component size and the size test `count <= max_size` flips only
+    toward MORE invalidation wherever the decision broadcast reaches
+    (tests/test_speckle_cap.py asserts this on a snake); pixels beyond
+    the broadcast's capped reach keep their value. Real scenes converge
+    inside the default cap (bit-exact -- the accuracy suite runs with it
+    active); only adversarial noise frames degrade, bounded, instead of
+    stalling the pipeline for ~300x a frame period (round-4's 819ms
+    artifact, HARVEST_R4.txt:21-23)."""
+    from rt_depth_map_tpu.ops.cc import (
+        cc_round_cap,
+        component_small,
+        connected_components_scan,
+    )
+
+    cap = cc_round_cap()
     active = disp != new_val
-    labels = connected_components_scan(disp, active, jnp.int32(max_diff), 4)
+    labels = connected_components_scan(disp, active, jnp.int32(max_diff), 4,
+                                       max_rounds=cap)
     small = component_small(
         labels, active, values=disp, max_diff=max_diff, max_size=max_size,
-        connectivity=4,
+        connectivity=4, max_rounds=cap,
     )
     return jnp.where(small, jnp.asarray(new_val, disp.dtype), disp)
