@@ -132,6 +132,20 @@ def run_cell(W, H, D, matcher_kind, batch, frames):
     dt = time.perf_counter() - t0
     fps = (n_disp * batch) / dt
 
+    # analytic speed-of-light ratio (MFU-style; VERDICT round-4 item 9):
+    # util_frac = floor_ms / achieved_ms against tools/perf_model.py
+    util = None
+    if matcher_kind == "sgm":  # the model covers the SGM pipeline
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            from perf_model import floor_ms as _floor_ms
+
+            fl = _floor_ms(W, H, D, paths=8)
+            util = (fl, round(fl * fps / 1e3, 4))
+        except Exception:
+            util = None
+
     metric = f"fps_{W}x{H}_{matcher_kind}{D}" + (f"_b{batch}" if batch > 1 else "")
     return {
         "metric": metric,
@@ -144,6 +158,8 @@ def run_cell(W, H, D, matcher_kind, batch, frames):
             "frames": n_disp * batch,
             "batch": batch,
             **({"batch_mode": engine.batch_mode} if batch > 1 else {}),
+            **({"floor_ms": round(util[0], 3),
+                "util_frac": util[1]} if util else {}),
         },
     }
 

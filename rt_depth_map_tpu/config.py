@@ -71,7 +71,9 @@ class MatcherConfig:
     # SGM-only:
     p1: int = 8 * 3 * 5 * 5
     p2: int = 32 * 3 * 5 * 5
-    num_paths: int = 8  # 4, 5 (single-pass parity) or 8 (full)
+    num_paths: int = 8  # 5 = cv2 MODE_SGBM single-pass parity (4 causal
+    # dirs + reverse horizontal), 8 = MODE_HH (production default),
+    # 4 = causal-only (direction-family tests)
     # implementation selection: "auto" benchmarks-driven, "xla" pure-JAX,
     # "pallas" hand kernel.
     backend: str = "auto"

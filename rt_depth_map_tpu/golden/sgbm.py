@@ -6,7 +6,8 @@ the clipped x-Sobel response plus quarter-weighted raw-intensity BT, block
 window summation with replicated borders, SGM path aggregation
   L_r(p,d) = C(p,d) + min(L_r(p-r,d), L_r(p-r,d+/-1)+P1, min_k L_r(p-r,k)+P2)
              - (min_k L_r(p-r,k) + P2)
-over 4 directions (single top-down pass, cv2 MODE_SGBM) or 8 (two passes,
+over 5 directions (single-pass cv2 MODE_SGBM: four causal + the reverse
+within-row horizontal) or 8 (two passes,
 MODE_HH), WTA with smallest-d tie-break, SGBM's uniqueness test
 (S[d]*(100-ratio) < minS*100 outside best+/-1), parabolic subpixel, inline
 cost-based left-right check (floor AND ceil candidates), speckle filter.
@@ -204,7 +205,10 @@ def golden_stereo_sgbm(
     speckle_range: int = 32,
     disp12_max_diff: int = 1,
     pre_filter_cap: int = 0,
-    mode: str = "sgbm",  # "sgbm" (4 paths, cv2 default) | "hh" (8 paths)
+    mode: str = "sgbm",  # "sgbm" (5 paths, cv2 default single-pass:
+    # both horizontal + up-left/up/up-right) | "hh" (8 paths, MODE_HH)
+    # | "sgbm4" (the 4 causal directions only -- kept for the tiled/
+    # sharded direction-family tests)
 ):
     H, W = left.shape
     D = num_disparities
@@ -216,7 +220,16 @@ def golden_stereo_sgbm(
         left, right, D, block_size, minD, pre_filter_cap
     )
 
-    dirs = list(_DIRS_PASS1) + (list(_DIRS_PASS2) if mode == "hh" else [])
+    # cv2's single-pass MODE_SGBM aggregates FIVE directions -- the four
+    # causal ones plus the right-to-left horizontal (OpenCV sgbm.cpp's
+    # extra within-row reverse scan; the docs' "5 directions"). Measured:
+    # the 4-dir model diverged 2.2% from cv2 on occlusion-heavy scenes,
+    # the 5-dir model 0.43% (HARVEST_R5.txt section 5).
+    dirs = list(_DIRS_PASS1)
+    if mode == "sgbm":
+        dirs += [(0, -1)]
+    elif mode == "hh":
+        dirs += list(_DIRS_PASS2)
     S = np.zeros_like(C)
     for dy, dx in dirs:
         S += _aggregate_dir(C, p1, p2, dy, dx)

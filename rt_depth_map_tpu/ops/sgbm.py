@@ -255,9 +255,15 @@ def _use_pallas(cfg: MatcherConfig, H: int, width1: int, D: int) -> bool:
 
 
 def aggregate_cost(C: jnp.ndarray, p1: int, p2: int, num_paths: int) -> jnp.ndarray:
-    """Sum of directional aggregations. num_paths: 4 (MODE_SGBM single-pass
-    directions) or 8 (MODE_HH)."""
-    dirs = list(_DIRS_PASS1) + (list(_DIRS_PASS2) if num_paths == 8 else [])
+    """Sum of directional aggregations. num_paths: 5 (cv2 MODE_SGBM
+    single-pass parity: the 4 causal directions + the within-row reverse
+    horizontal -- golden/sgbm.py note), 8 (MODE_HH), or 4 (causal only,
+    kept for the tiled/sharded direction-family tests)."""
+    dirs = list(_DIRS_PASS1)
+    if num_paths == 5:
+        dirs += [(0, -1)]
+    elif num_paths >= 8:
+        dirs += list(_DIRS_PASS2)
     S = jnp.zeros_like(C)
     for dy, dx in dirs:
         S = S + _aggregate_dir(C, p1, p2, dy, dx)
@@ -573,7 +579,12 @@ def stereo_sgbm(
             Ct = jnp.transpose(C_hdw, (2, 1, 0))  # (W1, D, H)
             hf = sgm_horiz_pass_dh(Ct, p1, p2, reverse=False,
                                    interpret=interp)
-            Sh_t = hf
+            if cfg.num_paths == 5:
+                # cv2 MODE_SGBM parity: + the reverse horizontal (5 dirs)
+                Sh_t = sgm_horiz_pass_dh(Ct, p1, p2, reverse=True,
+                                         partial=hf, interpret=interp)
+            else:
+                Sh_t = hf
             Sh = jnp.transpose(Sh_t, (2, 1, 0))  # (H, D, W1)
             best, minS, dval, uniq = sgm_final_wta_hdw(
                 C_hdw, Sh, p1, p2, cfg.uniqueness_ratio, reverse=False,
@@ -585,7 +596,9 @@ def stereo_sgbm(
         C, minX1, width1 = sgbm_cost_volume(
             left, right, D, cfg.block_size, minD, cfg.pre_filter_cap
         )
-        S = aggregate_cost(C, p1, p2, 8 if cfg.num_paths >= 8 else 4)
+        S = aggregate_cost(
+            C, p1, p2,
+            8 if cfg.num_paths >= 8 else (5 if cfg.num_paths == 5 else 4))
         best, minS, dval, bad_uniq = wta_uniq_subpix(S, cfg.uniqueness_ratio)
         dval = dval + minD * DISP_SCALE
 

@@ -204,10 +204,16 @@ class Engine:
         #     independent camera rigs requires welding their tensors
         #     together.
         #   * "fused": ONE jitted B-frame program -- batched pre/post +
-        #     the lane-stacked batched matcher (stereo_sgbm_batch). The
-        #     cross-frame launch amortization it buys is real but (today)
-        #     smaller than its own overheads at B=4/720p; kept as the
-        #     research path and for sharded-step parity.
+        #     the lane-stacked batched matcher (stereo_sgbm_batch).
+        #     DEMOTED (round 5): measured slower than "pipelined" at
+        #     every batch size tried (the vertical recurrence is
+        #     math-bound, so lane-stacking B frames scales its per-step
+        #     cost ~linearly -- tools/profile_batch_stages.py), and its
+        #     152 s cold compile is the worst in the matrix. It stays
+        #     for (a) the sharded multi-chip step, whose per-device
+        #     shard runs exactly this program, and (b) batch-parity
+        #     coverage of the lane-stacked kernels -- NOT as a
+        #     production operating mode.
         #   * "unrolled": the round-3 fused wiring (kill-switch tier).
         self.batch_mode = os.environ.get("RTDM_BATCH_MODE", "pipelined")
         self._frames_done = 0

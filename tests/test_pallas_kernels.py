@@ -81,7 +81,7 @@ def test_bm_pallas_knobs_bit_exact(env, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
-@pytest.mark.parametrize("paths,H", [(4, 16), (8, 16), (8, 24)])
+@pytest.mark.parametrize("paths,H", [(4, 16), (5, 16), (8, 16), (8, 24)])
 def test_sgm_pallas_matches_xla(paths, H):
     # Pallas SGM path wants D % 128 == 0, (W - D) % 128 == 0, H % 8 == 0,
     # H >= 16 -- the smallest such operating point. H=24 (H % 16 != 0)

@@ -50,7 +50,7 @@ def test_aggregate_one_direction_bit_exact(dy, dx):
     np.testing.assert_array_equal(np.asarray(Lj), Lg)
 
 
-@pytest.mark.parametrize("paths", [4, 8])
+@pytest.mark.parametrize("paths", [4, 5, 8])
 @pytest.mark.parametrize(
     "kw",
     [
@@ -62,9 +62,8 @@ def test_aggregate_one_direction_bit_exact(dy, dx):
 )
 def test_sgbm_jax_matches_golden(paths, kw):
     left, right = stereo_pair(2, 40, 112, 7)
-    golden = golden_stereo_sgbm(
-        left, right, 32, 5, mode=("hh" if paths == 8 else "sgbm"), **kw
-    )
+    mode = {4: "sgbm4", 5: "sgbm", 8: "hh"}[paths]
+    golden = golden_stereo_sgbm(left, right, 32, 5, mode=mode, **kw)
     cfg = MatcherConfig(
         kind="sgm", num_disparities=32, block_size=5, num_paths=paths,
         pre_filter_cap=0,
@@ -91,7 +90,7 @@ def test_sgbm_jax_vs_cv2_budget():
     m.setPreFilterCap(0)
     ref = m.compute(left, right)
     cfg = MatcherConfig(kind="sgm", num_disparities=32, block_size=5,
-                        num_paths=4, pre_filter_cap=0)
+                        num_paths=5, pre_filter_cap=0)
     mine = np.asarray(stereo_sgbm(jnp.asarray(left), jnp.asarray(right), cfg))
     INVALID = -16
     both = (ref != INVALID) & (mine != INVALID)

@@ -76,7 +76,7 @@ def our_cfg(kind, D, bs):
     backend = "pallas" if ON_DEVICE else "xla"
     if kind == "sgm":
         return MatcherConfig(
-            kind="sgm", num_disparities=D, block_size=bs, num_paths=4,
+            kind="sgm", num_disparities=D, block_size=bs, num_paths=5,
             pre_filter_cap=0, p1=8 * 3 * bs * bs, p2=32 * 3 * bs * bs,
             uniqueness_ratio=10, speckle_window_size=100, speckle_range=32,
             disp12_max_diff=1, backend=backend,
@@ -88,42 +88,54 @@ def our_cfg(kind, D, bs):
     )
 
 
+FAMILIES = "--families" in sys.argv
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_frames = int(args[0]) if args else 3
+    families = (("default", "lowtex", "occlusion", "fine")
+                if FAMILIES else ("default",))
     print(f"backend: {jax.default_backend()} "
           f"({'production pallas path' if ON_DEVICE else 'cpu xla path'})")
-    print("| resolution | matcher | D | bad-pixel vs cv2 | budget |")
-    print("|---|---|---|---|---|")
+    print("| resolution | matcher | D | scene | bad-pixel vs cv2 | budget |")
+    print("|---|---|---|---|---|---|")
     worst = 0.0
+    worst_fam = {}
     for W, H in ((320, 240), (640, 480), (1280, 720)):
         # reference width-scaled disparities (cmdline-parser.h:85-89),
         # rounded to the cv2-required multiple of 16
         D = max(16, (192 * W // 1280) // 16 * 16)
-        src = SyntheticStereoSource(W, H, seed=7)
         for kind, bs in (("bm", 13), ("sgm", 5)):
             cvm = cv_matcher(kind, D, bs)
             cfg = our_cfg(kind, D, bs)
             fn = jax.jit(
                 lambda l, r, c=cfg: (stereo_bm if c.kind == "bm"
                                      else stereo_sgbm)(l, r, c)
-            )
-            fracs = []
-            for i in range(n_frames):
-                left, right, _, _ = src.render(i)
-                lg = cv2.cvtColor(left, cv2.COLOR_RGB2GRAY)
-                rg = cv2.cvtColor(right, cv2.COLOR_RGB2GRAY)
-                ref = cvm.compute(lg, rg)
-                got = np.asarray(fn(jnp.asarray(lg), jnp.asarray(rg)))
-                rep = disparity_report(got, ref, invalid=-16)
-                fracs.append(rep["bad_pixel_fraction"])
-            bad = float(np.mean(fracs))
-            worst = max(worst, bad)
-            ok = "PASS" if bad <= 0.01 else "FAIL"
-            print(f"| {W}x{H} | {kind} | {D} | {bad * 100:.3f}% | "
-                  f"<=1% {ok} |", flush=True)
+            )  # one compile per cell; families share the shapes
+            for fam in families:
+                src = SyntheticStereoSource(W, H, seed=7, scene=fam)
+                fracs = []
+                for i in range(n_frames):
+                    left, right, _, _ = src.render(i)
+                    lg = cv2.cvtColor(left, cv2.COLOR_RGB2GRAY)
+                    rg = cv2.cvtColor(right, cv2.COLOR_RGB2GRAY)
+                    ref = cvm.compute(lg, rg)
+                    got = np.asarray(fn(jnp.asarray(lg), jnp.asarray(rg)))
+                    rep = disparity_report(got, ref, invalid=-16)
+                    fracs.append(rep["bad_pixel_fraction"])
+                bad = float(np.mean(fracs))
+                worst = max(worst, bad)
+                worst_fam[fam] = max(worst_fam.get(fam, 0.0), bad)
+                ok = "PASS" if bad <= 0.01 else "FAIL"
+                print(f"| {W}x{H} | {kind} | {D} | {fam} | {bad * 100:.3f}% |"
+                      f" <=1% {ok} |", flush=True)
     if MODES:
         worst = max(worst, mode_rows(n_frames))
+    if FAMILIES:
+        per = ", ".join(f"{f}: {v * 100:.3f}%"
+                        for f, v in sorted(worst_fam.items()))
+        print(f"\nper-family worst cells: {per}")
     print(f"\nworst cell: {worst * 100:.3f}% (budget 1%)")
     return 0 if worst <= 0.01 else 1
 
