@@ -220,7 +220,7 @@ def _wta_row_hdw(S_slab, D, uniqueness_ratio):
 
 def _final_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm, uniq_hbm,
                   c0, c1, c2, crow, sprow, obuf, in_sems, sp_sems, out_sems,
-                  *, H, W1, D, p1, p2, uniqueness_ratio, reverse):
+                  *, H, W1, D, p1, p2, uniqueness_ratio, reverse, KB=4):
     def out_dmas(slot, blk):
         y0 = pl.multiple_of((H - 8 * (blk + 1)) if reverse else 8 * blk, 8)
         targets = (best_hbm, minS_hbm, dval_hbm, uniq_hbm)
@@ -234,8 +234,10 @@ def _final_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm, uniq_hbm,
     c0[...] = jnp.zeros((D, W1), jnp.int32)
     c1[...] = jnp.zeros((D, W1), jnp.int32)
     c2[...] = jnp.zeros((D, W1), jnp.int32)
-    KB = 4  # input rows per DMA (see _down_kernel: single-row streaming is
-    # DMA-issue-bound); output stays 8-row blocked (DMA sublane alignment)
+    # KB input rows per DMA (single-row streaming is DMA-issue-bound, see
+    # _down_kernel); output stays 8-row blocked (DMA sublane alignment),
+    # so KB trips group into 8-row output blocks `per` trips at a time
+    per = 8 // KB
     nb = H // KB
 
     def y0_of(b):
@@ -254,7 +256,7 @@ def _final_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm, uniq_hbm,
 
     def body(b, _):
         slot = b % 2
-        blk = b // 2  # 8-row output block index
+        blk = b // per  # 8-row output block index
         oslot = blk % 2
 
         @pl.when(b + 1 < nb)
@@ -265,7 +267,7 @@ def _final_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm, uniq_hbm,
         c_blk_dma(slot, b).wait()
         sp_blk_dma(slot, b).wait()
 
-        @pl.when((b % 2 == 0) & (blk >= 2))
+        @pl.when((b % per == 0) & (blk >= 2))
         def _():
             for d in out_dmas(oslot, blk - 2):
                 d.wait()
@@ -275,7 +277,7 @@ def _final_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm, uniq_hbm,
             # row k when forward, KB-1-k when reversed (blocks march
             # opposite to y; in-block order compensates)
             kk = (KB - 1 - k) if reverse else k
-            r = KB * (b % 2) + k  # row position within the 8-row sweep blk
+            r = KB * (b % per) + k  # row position within the 8-row blk
             C_slab = crow[slot, kk].astype(jnp.int32)
             L0, L1, L2 = _three_dirs(C_slab, c0[...], c1[...], c2[...],
                                      p1, p2)
@@ -291,7 +293,7 @@ def _final_kernel(C_hbm, Sp_hbm, best_hbm, minS_hbm, dval_hbm, uniq_hbm,
             obuf[oslot, 2, pl.ds(row, 1)] = dval.reshape(1, W1)
             obuf[oslot, 3, pl.ds(row, 1)] = uniq.reshape(1, W1)
 
-        @pl.when(b % 2 == 1)
+        @pl.when(b % per == per - 1)
         def _():
             for d in out_dmas(oslot, blk):
                 d.start()
@@ -483,7 +485,10 @@ def sgm_horiz_pass_dh(Ct, p1, p2, reverse=False, partial=None,
     def scratch_bytes(kb):
         return D * H * 4 + 3 * 2 * kb * D * H * isz
 
-    KB = 8
+    # largest fitting block (the launch is fori-trip-overhead-bound, see
+    # sgm_horiz_bidir_dh note; KB=8 start cost the chained stretch path
+    # ~2x the trips VMEM allows)
+    KB = 32
     while KB > 1 and (W1 % KB or scratch_bytes(KB) > _VMEM_CAP - 8 * 2**20):
         KB //= 2
     if W1 % KB:
@@ -574,10 +579,14 @@ def sgm_down_pass_hdw(C, p1, p2, partial=None, interpret=False):
     with_partial = partial is not None
     io_dtype = C.dtype
     isz = jnp.dtype(io_dtype).itemsize
-    KB = 4 if H % 4 == 0 else 1  # rows per DMA (DMA-issue-bound else)
-    while KB > 1 and (3 * D * W1 * 4 + 3 * 2 * KB * D * W1 * isz
+    # largest fitting row block (trip-overhead-bound, same rationale as
+    # the horizontal passes)
+    KB = 16
+    while KB > 1 and (H % KB or 3 * D * W1 * 4 + 3 * 2 * KB * D * W1 * isz
                       > _VMEM_CAP - 8 * 2**20):
         KB //= 2
+    if H % KB:
+        KB = 1
     kernel = functools.partial(
         _down_kernel, H=H, W1=W1, D=D, p1=p1, p2=p2,
         with_partial=with_partial, io_dtype=io_dtype, KB=KB,
@@ -618,17 +627,23 @@ def sgm_final_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
     if W1 % 128 or H % 8 or H < 16:
         raise ValueError(f"(H, W1) = ({H}, {W1}) must tile (8/16, 128)")
     p2 = max(p2, p1 + 1)
+    isz = (jnp.dtype(C.dtype).itemsize
+           + jnp.dtype(S_partial.dtype).itemsize)
+
+    def scratch_total(kb):
+        return (3 * D * W1 * 4 + 2 * kb * D * W1 * isz
+                + 2 * 4 * 8 * W1 * 4)
+
+    # largest 8-dividing row block that fits (trip-overhead-bound like
+    # the other streaming passes; KB=4 was hardcoded through round 4)
+    KB = 8
+    while KB > 4 and scratch_total(KB) > _VMEM_CAP - 8 * 2**20:
+        KB //= 2
     kernel = functools.partial(
         _final_kernel, H=H, W1=W1, D=D, p1=p1, p2=p2,
-        uniqueness_ratio=uniqueness_ratio, reverse=reverse,
+        uniqueness_ratio=uniqueness_ratio, reverse=reverse, KB=KB,
     )
     out = jax.ShapeDtypeStruct((H, W1), jnp.int32)
-    scratch_total = (
-        3 * D * W1 * 4
-        + 2 * 4 * D * W1
-        * (jnp.dtype(C.dtype).itemsize + jnp.dtype(S_partial.dtype).itemsize)
-        + 2 * 4 * 8 * W1 * 4
-    )
     return pl.pallas_call(
         kernel,
         out_shape=(out,) * 4,
@@ -638,8 +653,8 @@ def sgm_final_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
             pltpu.VMEM((D, W1), jnp.int32),
             pltpu.VMEM((D, W1), jnp.int32),
             pltpu.VMEM((D, W1), jnp.int32),
-            pltpu.VMEM((2, 4, D, W1), C.dtype),
-            pltpu.VMEM((2, 4, D, W1), S_partial.dtype),
+            pltpu.VMEM((2, KB, D, W1), C.dtype),
+            pltpu.VMEM((2, KB, D, W1), S_partial.dtype),
             pltpu.VMEM((2, 4, 8, W1), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -647,7 +662,7 @@ def sgm_final_wta_hdw(C, S_partial, p1, p2, uniqueness_ratio,
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=_vmem_limit(scratch_total),
+            vmem_limit_bytes=_vmem_limit(scratch_total(KB)),
         ),
         interpret=interpret,
     )(C, S_partial)

@@ -468,7 +468,27 @@ def stereo_sgbm(
              or (cfg.backend == "auto" and jax.default_backend() != "cpu"))
         and not _env_flag("RTDM_NO_PAD_FIT")
     )
-    if not use_pallas and wants_pallas:
+    # Pad-fit also fires when the Pallas gates pass but H % 16 != 0 keeps
+    # the 8-path run off the FUSED BIDIRECTIONAL kernels (half the
+    # sequential steps): 1080-class heights (1080 % 16 == 8) otherwise
+    # ride the chained single-direction passes. The 8 edge-replicated
+    # bottom rows are the same divergence class the width pad-fit
+    # already accepts (only sweeps grazing the replicated border can
+    # deviate; docs/ACCURACY.md measures the padded cells in-budget).
+    # Gated to D <= 128: at the stretch point (D=256, W1=1664) the bidir
+    # kernels measured SLOWER than the chained passes (89.6 vs 101.4 ms,
+    # HARVEST_R5 tools/probe_stretch.py) -- the wider (D, W1) slabs blow
+    # the bidir kernels' register/VMEM sweet spot. RTDM_H_PAD_BIDIR=1/0
+    # forces either way.
+    import os
+
+    hpb_env = os.environ.get("RTDM_H_PAD_BIDIR", "")
+    wants_bidir_pad = (
+        use_pallas and H % 16 != 0 and cfg.num_paths >= 8
+        and not _env_flag("RTDM_NO_BIDIR")
+        and (hpb_env == "1" or (hpb_env in ("", "auto") and D <= 128))
+    )
+    if (not use_pallas or wants_bidir_pad) and wants_pallas:
         Hp2 = max(-(-H // 16) * 16, 16)
         W1p2 = -(-(W - D) // 128) * 128
         Wp2 = W1p2 + D

@@ -82,11 +82,15 @@ def test_bm_pallas_knobs_bit_exact(env, monkeypatch):
 
 
 @pytest.mark.parametrize("paths,H", [(4, 16), (5, 16), (8, 16), (8, 24)])
-def test_sgm_pallas_matches_xla(paths, H):
+def test_sgm_pallas_matches_xla(paths, H, monkeypatch):
     # Pallas SGM path wants D % 128 == 0, (W - D) % 128 == 0, H % 8 == 0,
     # H >= 16 -- the smallest such operating point. H=24 (H % 16 != 0)
     # exercises the NON-fused vertical chain (horiz x2 + down + final
-    # WTA), the path 1080p-class heights take (use_bidir needs H % 16).
+    # WTA): since round 5 such heights pad-fit to H % 16 and take the
+    # fused bidir kernels, so pin pad-fit off to keep the chained path
+    # covered (it remains the RTDM_NO_PAD_FIT / kill-switch path).
+    if H % 16:
+        monkeypatch.setenv("RTDM_NO_PAD_FIT", "1")
     left, right = stereo_pair(12, H, 256, 9)
     kw = dict(
         kind="sgm", num_disparities=128, block_size=5, pre_filter_cap=63,
@@ -98,6 +102,29 @@ def test_sgm_pallas_matches_xla(paths, H):
     got = stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
                       MatcherConfig(backend="pallas", **kw))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sgm_pallas_h_padfit_bidir_close_to_xla():
+    """1080-class heights (H % 16 == 8) pad-fit onto the fused bidir
+    kernels with edge-replicated bottom rows (round-5 stretch fix).
+    Divergence vs the strict un-padded result is confined to pixels
+    whose vertical sweeps graze the replicated border; assert the
+    agreement stays far inside the 1% judged budget and the top half
+    (which only the converged down-sweep reaches) is bit-exact."""
+    left, right = stereo_pair(12, 24, 256, 9)
+    kw = dict(
+        kind="sgm", num_disparities=128, block_size=5, pre_filter_cap=63,
+        p1=600, p2=2400, num_paths=8, uniqueness_ratio=10,
+        speckle_window_size=0, speckle_range=32, disp12_max_diff=1,
+    )
+    ref = stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
+                      MatcherConfig(backend="xla", **kw))
+    got = stereo_sgbm(jnp.asarray(left), jnp.asarray(right),
+                      MatcherConfig(backend="pallas", **kw))
+    ref, got = np.asarray(ref), np.asarray(got)
+    mismatch = (ref != got).mean()
+    assert mismatch < 0.01, mismatch
+    np.testing.assert_array_equal(got[:12], ref[:12])
 
 
 @pytest.mark.parametrize("D,W,H", [
