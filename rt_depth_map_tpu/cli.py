@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory with left_*/right_* images (source=files)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--matcher", default="bm", choices=["bm", "sgm"])
-    p.add_argument("--paths", type=int, default=8, choices=[4, 8],
+    p.add_argument("--paths", type=int, default=8, choices=[4, 5, 8],
                    help="SGM path count")
     p.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--frames", type=int, default=None,

@@ -211,6 +211,9 @@ def _exact_cross_aggregate(
     # (dy, dx): dx=+1 dirs wave from tile 0, dx=-1 from tile n-1
     if num_paths >= 8:
         dirs = [(0, 1), (1, 1), (-1, 1), (0, -1), (1, -1), (-1, -1)]
+    elif num_paths == 5:
+        # cv2 MODE_SGBM single-pass parity: 4 causal + reverse horizontal
+        dirs = [(0, 1), (1, 1), (1, -1), (0, -1)]
     else:
         dirs = [(0, 1), (1, 1), (1, -1)]
     fwd = [i for i, (_, dx) in enumerate(dirs) if dx == 1]
@@ -326,7 +329,8 @@ def exact_sgbm_tile_program(
     p1 = cfg.p1
     p2 = max(cfg.p2, p1 + 1)
     INVALID = (minD - 1) * DISP_SCALE
-    num_paths = 8 if cfg.num_paths >= 8 else 4
+    num_paths = (8 if cfg.num_paths >= 8
+                 else (5 if cfg.num_paths == 5 else 4))
 
     idx = jax.lax.axis_index(space_axis)
     C_loc = _tile_cost_volume(lF, rF, cfg, idx, Wloc)

@@ -30,7 +30,7 @@ def _pair(rng, H, W):
     return jnp.asarray(left), jnp.asarray(right)
 
 
-@pytest.mark.parametrize("num_paths,n,row_block", [(8, 4, 6)])
+@pytest.mark.parametrize("num_paths,n,row_block", [(8, 4, 6), (5, 4, 6)])
 def test_exact_tiled_bit_parity(rng, num_paths, n, row_block):
     H, W, D = 48, 80, 16
     left, right = _pair(rng, H, W)
