@@ -46,6 +46,23 @@ from rt_depth_map_tpu.parallel.tiled_sgbm import sgbm_tile_program
 MORPH_DX = MORPH_DY = 10
 
 
+def _map_frames(fn, *arrays):
+    """Per-frame map as a STATIC python loop + stack (not jax.vmap):
+    vmapping a pallas_call with ANY-memory-space operands is unsupported
+    by the TPU lowering ("blocks having the same block shape as the
+    array shape and a trivial index_map"), so vmapped tile/tail programs
+    CRASH on real devices -- the CPU test meshes never see it because
+    the pallas gates route to the XLA formulations there. The engine's
+    own batch paths loop for the same reason (pipeline/engine.py)."""
+    B = arrays[0].shape[0]
+    outs = [fn(*(a[i] for a in arrays)) for i in range(B)]
+    if isinstance(outs[0], (tuple, list)):
+        return tuple(
+            jnp.stack([o[j] for o in outs]) for j in range(len(outs[0]))
+        )
+    return jnp.stack(outs)
+
+
 def make_sharded_step(
     mesh: Mesh,
     cfg: EngineConfig,
@@ -90,17 +107,16 @@ def make_sharded_step(
                         exact_sgbm_tile_program,
                     )
 
-                    return jax.vmap(
+                    return _map_frames(
                         lambda a, b: exact_sgbm_tile_program(
                             a, b, mcfg, "space"
-                        )
-                    )(lp_loc, rp_loc)
-                return jax.vmap(
-                    lambda a, b: sgbm_tile_program(a, b, mcfg, W, "space")
-                )(lp_loc, rp_loc)
-            return jax.vmap(
-                lambda a, b: bm_tile_program(a, b, mcfg, W, "space")
-            )(lp_loc, rp_loc)
+                        ), lp_loc, rp_loc)
+                return _map_frames(
+                    lambda a, b: sgbm_tile_program(a, b, mcfg, W, "space"),
+                    lp_loc, rp_loc)
+            return _map_frames(
+                lambda a, b: bm_tile_program(a, b, mcfg, W, "space"),
+                lp_loc, rp_loc)
 
         return jax.shard_map(
             local,
@@ -142,8 +158,8 @@ def make_sharded_step(
                 lambda x: xsobel_prefilter(x, mcfg.pre_filter_cap)
             )(rg)
             disp = matcher_tiles(lp, rp)
-        boxes, depth_cm, mean_z, count, filt = jax.vmap(per_frame_tail)(
-            rgbr, disp
+        boxes, depth_cm, mean_z, count, filt = _map_frames(
+            per_frame_tail, rgbr, disp
         )
         return dict(
             disparity=disp,
