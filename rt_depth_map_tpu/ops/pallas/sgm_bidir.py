@@ -222,20 +222,21 @@ def _horiz_bidir_kernel(Ct_hbm, out_hbm, cF, cB, crF, crB, obF, obB,
 
 
 def _carry_dtype(io_dtype, p1, p2):
-    """int16 recurrence carries when provably exact (2x VPU element rate):
-    io int16 already certifies 5 * C_max <= 32767 (ops/sgbm.py vol_dtype
-    gate), and p1 + p2 <= 16384 keeps the border fill MAX_COST - p1 - p2
-    above every real candidate. OFF by default (RTDM_INT16_CARRY=1 arms
-    it): the d +/- 1 shifts must round-trip through int32 (Mosaic rotate
-    is 32-bit only), and whether the remaining int16 element rate wins on
-    real silicon is an open measurement (tools/profile_batch_stages.py
-    sweeps both)."""
-    import os
+    """RETIRED (round 5): always int32.
 
-    if os.environ.get("RTDM_INT16_CARRY", "0") in ("", "0"):
-        return jnp.int32
-    if jnp.dtype(io_dtype).itemsize == 2 and p1 + p2 <= 16384:
-        return jnp.int16
+    int16 recurrence carries were provably exact (io int16 certifies
+    5 * C_max <= 32767; p1 + p2 <= 16384 keeps the border fill above
+    every real candidate) and measured NEUTRAL at best in round 4 (the
+    d +/- 1 shifts round-trip through int32 because Mosaic rotate is
+    32-bit only, erasing the element-rate win). As of the current
+    Mosaic, elementwise int16 `minsi` inside the fused kernels FAILS TO
+    LEGALIZE on real hardware ("failed to legalize operation
+    'arith.minsi'" on vector<8x128x2xi16>; interpret mode accepts it,
+    so only an on-device compile sees the break -- HARVEST_R5 section
+    14). A neutral-at-best knob that cannot compile on the target is
+    retired; RTDM_INT16_CARRY is accepted and ignored
+    (tests/test_int16_carry.py pins the no-op)."""
+    del io_dtype, p1, p2
     return jnp.int32
 
 

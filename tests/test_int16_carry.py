@@ -1,9 +1,11 @@
-"""int16 recurrence carries must be bit-identical to int32.
+"""RTDM_INT16_CARRY must be a harmless no-op (retired round 5).
 
-ops/pallas/sgm_bidir._carry_dtype switches the aggregation carries to
-int16 when provably exact (io int16 + p1 + p2 <= 16384); the arithmetic
-bounds argument lives in _sgm_step_hdw's docstring. This pins the
-equivalence empirically across both bidirectional kernels."""
+int16 aggregation carries measured neutral at best in round 4 and, as
+of the current Mosaic, elementwise int16 `minsi` inside the fused
+kernels fails to legalize ON HARDWARE (interpret mode accepts it --
+HARVEST_R5 section 14), so _carry_dtype always returns int32. These
+tests pin that arming the retired knob still produces bit-identical
+results (i.e. it cannot re-enable a path that would break on-device)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -55,12 +57,12 @@ def test_horiz_bidir_int16_matches_int32(toggle):
 
 
 def test_carry_dtype_gate(monkeypatch):
-    """int16 carries only when ARMED and provably exact."""
+    """The retired knob must NEVER yield int16 carries (they no longer
+    compile on hardware -- module docstring)."""
     from rt_depth_map_tpu.ops.pallas.sgm_bidir import _carry_dtype
 
-    monkeypatch.setenv("RTDM_INT16_CARRY", "1")
-    assert _carry_dtype(jnp.int32, 600, 2400) == jnp.int32
-    assert _carry_dtype(jnp.int16, 600, 2400) == jnp.int16
-    assert _carry_dtype(jnp.int16, 9000, 9000) == jnp.int32  # p1+p2 too big
-    monkeypatch.setenv("RTDM_INT16_CARRY", "0")  # default-off state
-    assert _carry_dtype(jnp.int16, 600, 2400) == jnp.int32
+    for armed in ("1", "0"):
+        monkeypatch.setenv("RTDM_INT16_CARRY", armed)
+        assert _carry_dtype(jnp.int32, 600, 2400) == jnp.int32
+        assert _carry_dtype(jnp.int16, 600, 2400) == jnp.int32
+        assert _carry_dtype(jnp.int16, 9000, 9000) == jnp.int32
