@@ -1,5 +1,8 @@
-"""A/B the int16-carry variant of the bidirectional SGM kernels at the
-flagship single-frame shape (RTDM_INT16_CARRY toggles _carry_dtype).
+"""HISTORICAL (round 4): A/B of the int16-carry variant of the
+bidirectional SGM kernels. RTDM_INT16_CARRY was RETIRED in round 5
+(_carry_dtype always returns int32: elementwise int16 min no longer
+legalizes on hardware -- HARVEST_R5 section 14), so both arms of this
+probe now measure the identical int32 path.
 
 Usage: python tools/probe_int16.py [WxH] [D] [iters]
 """
